@@ -1,0 +1,163 @@
+"""Static configuration tree for the TPU SIFT/SLAM engine.
+
+The reference (danielsuo/cuSIFT, see SURVEY.md §5.6) has no config system —
+compile-time ``#define``s and positional arguments (``thresh``, ``initBlur``,
+``lowestScale``, ``numOctaves``).  Here every knob lives in a frozen (hashable)
+dataclass so configs can be passed as static jit arguments: each distinct
+config compiles exactly once and XLA sees fully static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class SiftConfig:
+    """SIFT extraction parameters (reference: ExtractSift args + kernel #defines).
+
+    Defaults follow Lowe 2004 / OpenCV so that `cv2.SIFT_create()` can serve
+    as the behavioural oracle in tests (SURVEY.md §4).
+    """
+
+    # Scale space
+    num_octaves: int = 5
+    scales_per_octave: int = 3          # "S": DoG levels searched per octave
+    sigma0: float = 1.6                 # base blur of octave level 0
+    init_blur: float = 0.5              # assumed blur of the raw input image
+    upscale: bool = False               # initial 2x upsample (octave -1)
+
+    # Detection
+    contrast_thresh: float = 0.04       # Lowe units (image in [0,1]); final cut is cT/S
+    edge_thresh: float = 10.0           # Hessian ratio limit r: tr^2/det < (r+1)^2/r
+    refine_iters: int = 3               # static quadratic-refinement steps
+    max_kpts_per_octave: int = 1024     # static per-octave candidate budget
+    max_kpts: int = 2048                # static global keypoint capacity (pre-orientation)
+    border: int = 5                     # reject detections within this margin
+
+    # Orientation assignment
+    ori_bins: int = 36
+    ori_sigma_factor: float = 1.5       # gaussian weight sigma = 1.5 * kp_sigma
+    ori_radius_factor: float = 4.5      # sample window half-size = 4.5 * kp_sigma
+    ori_grid: int = 16                  # fixed sample grid (ori_grid^2 samples / kpt)
+    ori_peak_ratio: float = 0.8
+    max_orientations: int = 2           # slots per keypoint (dominant + secondary)
+
+    # Descriptor
+    desc_width: int = 4                 # spatial cells per axis
+    desc_bins: int = 8                  # orientation bins per cell
+    desc_grid: int = 16                 # fixed sample grid (desc_grid^2 samples / kpt)
+    desc_scale_factor: float = 3.0      # cell half-width = 3 * kp_sigma
+    desc_clip: float = 0.2
+
+    dtype: str = "float32"
+
+    @property
+    def levels_per_octave(self) -> int:
+        # S blur levels searched + 3 extra (Lowe): S+3 gaussians, S+2 DoGs
+        return self.scales_per_octave + 3
+
+    @property
+    def total_kpts(self) -> int:
+        """Descriptor-slot capacity: keypoints x orientation slots."""
+        return self.max_kpts * self.max_orientations
+
+    def sigmas(self) -> tuple:
+        """Absolute blur per level within an octave (relative to octave base)."""
+        k = 2.0 ** (1.0 / self.scales_per_octave)
+        return tuple(self.sigma0 * (k ** i) for i in range(self.levels_per_octave))
+
+    def incremental_sigmas(self) -> tuple:
+        """Blur to apply to level i-1 to reach level i (level 0 handled separately)."""
+        sig = self.sigmas()
+        out = []
+        for i in range(1, self.levels_per_octave):
+            out.append(math.sqrt(max(sig[i] ** 2 - sig[i - 1] ** 2, 1e-12)))
+        return tuple(out)
+
+    def num_octaves_for(self, h: int, w: int) -> int:
+        """Octave count that keeps the smallest level >= ~16 px (cv2-like)."""
+        base = min(h, w) * (2 if self.upscale else 1)
+        if base < 16:
+            return 1
+        return min(self.num_octaves, int(math.log2(base / 8.0)))
+
+
+@dataclass(frozen=True)
+class MatchConfig:
+    """Brute-force ratio-test matching (reference: MatchSiftData, SURVEY.md C12)."""
+
+    ratio_thresh: float = 0.8           # Lowe ratio on L2 distances (d1/d2)
+    min_score: float = -1.0             # optional floor on best correlation
+    cross_check: bool = False
+    dtype: str = "float32"              # accumulate in f32; inputs may be bf16
+
+
+@dataclass(frozen=True)
+class RansacConfig:
+    """Batched-hypothesis RANSAC (reference: FindHomography / rigid transform)."""
+
+    num_hypotheses: int = 1024          # static hypothesis batch (thread-per-hyp analog)
+    inlier_thresh: float = 3.0          # px reprojection error (homography)
+    inlier_thresh_3d: float = 0.05      # metres (rigid RGB-D)
+    refine_iters: int = 5               # IRLS rounds on the winner's inliers
+    min_matches: int = 8
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class BAConfig:
+    """Bundle adjustment: LM with matrix-free Schur complement + PCG."""
+
+    max_iters: int = 20                 # outer LM iterations
+    cg_iters: int = 50                  # PCG iterations on the camera system
+    cg_tol: float = 1e-6
+    init_damping: float = 1e-3
+    damping_up: float = 4.0
+    damping_down: float = 0.5
+    huber_delta: float = 0.0            # 0 => plain L2
+    fix_first_pose: bool = True
+    # reprojection BA has a 7-dof gauge (6 pose + 1 scale); fixing >= 2
+    # poses pins it completely.  num_fixed_poses counts from pose 0 and
+    # overrides fix_first_pose when > 0.
+    num_fixed_poses: int = 1
+
+
+@dataclass(frozen=True)
+class PoseGraphConfig:
+    max_iters: int = 20
+    cg_iters: int = 100
+    cg_tol: float = 1e-8
+    init_damping: float = 1e-6
+    fix_first_pose: bool = True
+
+
+@dataclass(frozen=True)
+class SlamConfig:
+    """Keyframe RGB-D SLAM frontend/backend (new surface; BASELINE configs[3])."""
+
+    max_keyframes: int = 256
+    kf_min_inliers: int = 60            # fewer inliers than this => new keyframe
+    kf_max_translation: float = 0.25    # metres
+    kf_max_rotation: float = 0.25       # radians
+    track_min_inliers: int = 12         # below this tracking is declared lost
+    loop_min_score: float = 0.10        # global-descriptor similarity gate
+    loop_temporal_gap: int = 20         # keyframes; ignore recent neighbours
+    loop_min_inliers: int = 40          # geometric verification gate
+    checkpoint_every: int = 0           # keyframes between checkpoints (0 = off)
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout (SURVEY.md §2.4 D1): frames = DP analog, map = TP analog."""
+
+    frames_axis: int = 0                # 0 => use all devices on "frames"
+    map_axis: int = 1
+    axis_names: tuple = ("frames", "map")
+
+
+def replace(cfg, **kw):
+    """Functional config update (frozen dataclasses)."""
+    return dataclasses.replace(cfg, **kw)

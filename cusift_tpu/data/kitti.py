@@ -1,0 +1,55 @@
+"""KITTI odometry loader (BASELINE configs[4]).
+
+Standard layout: ``sequences/<NN>/image_0/######.png`` (grayscale left),
+``calib.txt`` (P0 projection), ``poses/<NN>.txt`` (ground-truth cam-to-world
+3x4).  Gated on path existence (no datasets ship in this environment);
+synthetic sequences stand in for tests.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+
+
+def available(seq_dir: str) -> bool:
+    return os.path.isdir(os.path.join(seq_dir, "image_0"))
+
+
+def load_calib(seq_dir: str) -> np.ndarray:
+    """[4] = fx, fy, cx, cy from the P0 line of calib.txt."""
+    with open(os.path.join(seq_dir, "calib.txt")) as f:
+        for line in f:
+            if line.startswith("P0:"):
+                p = np.fromstring(line[3:], sep=" ").reshape(3, 4)
+                return np.array([p[0, 0], p[1, 1], p[0, 2], p[1, 2]], np.float32)
+    raise ValueError("no P0 in calib.txt")
+
+
+def load_images(seq_dir: str, max_frames: int | None = None,
+                stride: int = 1) -> Iterator[np.ndarray]:
+    import cv2
+    d = os.path.join(seq_dir, "image_0")
+    names = sorted(os.listdir(d))[::stride]
+    if max_frames:
+        names = names[:max_frames]
+    for n in names:
+        img = cv2.imread(os.path.join(d, n), cv2.IMREAD_GRAYSCALE)
+        if img is not None:
+            yield img.astype(np.float32) / 255.0
+
+
+def load_poses(pose_file: str):
+    """Ground truth: list of (R_wc, t_wc) world-to-camera poses."""
+    out = []
+    for line in open(pose_file):
+        v = np.fromstring(line, sep=" ")
+        if v.size != 12:
+            continue
+        m = v.reshape(3, 4)           # cam-to-world
+        r_cw, t_cw = m[:, :3], m[:, 3]
+        out.append((r_cw.T.astype(np.float32),
+                    (-r_cw.T @ t_cw).astype(np.float32)))
+    return out

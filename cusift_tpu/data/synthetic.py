@@ -1,0 +1,240 @@
+"""Synthetic ground-truth scene generators (SURVEY.md §4.3).
+
+No datasets ship with this environment, so geometry tests and the SLAM
+regression suite run on rendered scenes with exact ground truth:
+
+* random textured images (Gaussian blob fields) for feature tests,
+* homography-warped pairs for two-view tests,
+* a planar-scene RGB-D sequence with analytic depth + exact poses for
+  SLAM/odometry tests (a plane's image under a pinhole camera is an exact
+  homography warp, so rendering is cheap and artifact-free),
+* random bundle-adjustment problems for optimiser tests.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from ..optim.lie import se3_exp
+
+# TUM fr1-like intrinsics (640x480)
+DEFAULT_INTR = np.array([517.3, 516.5, 318.6, 255.3], np.float32)
+
+
+def textured_image(h: int, w: int, seed: int = 0, blobs: int = 160) -> np.ndarray:
+    """Random multi-scale Gaussian-blob texture in [0, 1] (SIFT-friendly)."""
+    rs = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = 0.15 + 0.1 * (xx / w) + 0.1 * (yy / h)
+    for _ in range(blobs):
+        cx, cy = rs.uniform(0, w), rs.uniform(0, h)
+        s = rs.uniform(2.0, 18.0)
+        a = rs.uniform(-0.6, 0.8)
+        img += a * np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s * s))
+    img = (img - img.min()) / (img.max() - img.min())
+    return img.astype(np.float32)
+
+
+def warped_pair(h: int = 480, w: int = 640, seed: int = 0):
+    """(img_a, img_b, H_true) with img_b = warp(img_a, H_true)."""
+    import cv2
+    img = textured_image(h, w, seed=seed)
+    rs = np.random.default_rng(seed + 1)
+    ang = rs.uniform(-0.15, 0.15)
+    sc = rs.uniform(0.9, 1.1)
+    ca, sa = sc * np.cos(ang), sc * np.sin(ang)
+    h_true = np.array([
+        [ca, -sa, rs.uniform(-20, 20) + (1 - ca) * w / 2 + sa * h / 2],
+        [sa, ca, rs.uniform(-20, 20) - sa * w / 2 + (1 - ca) * h / 2],
+        [rs.uniform(-5e-5, 5e-5), rs.uniform(-5e-5, 5e-5), 1.0],
+    ], np.float64)
+    img_b = cv2.warpPerspective(img, h_true, (w, h), flags=cv2.INTER_LINEAR,
+                                borderMode=cv2.BORDER_REFLECT_101)
+    return img, img_b.astype(np.float32), h_true
+
+
+class RGBDSequence(NamedTuple):
+    """Ground-truth RGB-D sequence. Poses are world-to-camera (R, t)."""
+
+    images: np.ndarray     # [F, H, W] float32 in [0, 1]
+    depths: np.ndarray     # [F, H, W] float32 metres (0 = invalid)
+    poses_r: np.ndarray    # [F, 3, 3]
+    poses_t: np.ndarray    # [F, 3]
+    intr: np.ndarray       # [4]
+    timestamps: np.ndarray  # [F] seconds
+
+
+def planar_rgbd_sequence(n_frames: int = 12, h: int = 480, w: int = 640,
+                         seed: int = 0, plane_depth: float = 2.0,
+                         motion_scale: float = 1.0) -> RGBDSequence:
+    """Camera orbiting in front of a textured plane z = plane_depth (world).
+
+    The plane's image in any camera is an exact homography of the world
+    texture, so rendering uses cv2.warpPerspective and the depth map is
+    analytic: z(u, v) = plane-ray intersection.
+    """
+    import cv2
+    fx, fy, cx, cy = DEFAULT_INTR
+    k = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float64)
+    k_inv = np.linalg.inv(k)
+    tex = textured_image(h, w, seed=seed, blobs=260)
+
+    rs = np.random.default_rng(seed + 7)
+    images, depths, rots, trans, stamps = [], [], [], [], []
+    # world plane: points X = (x, y, plane_depth); texture maps world (x, y)
+    # to texture pixels via the reference camera at identity.
+    n_w = np.array([0.0, 0.0, 1.0])
+    for f in range(n_frames):
+        # smooth trajectory: slow sideways arc + small rotation jitter
+        s = f / max(n_frames - 1, 1)
+        xi = np.array([
+            0.35 * np.sin(2 * np.pi * s) * motion_scale,          # tx
+            0.15 * np.sin(4 * np.pi * s + 1.0) * motion_scale,    # ty
+            0.10 * np.sin(2 * np.pi * s + 0.5) * motion_scale,    # tz
+            0.04 * np.sin(2 * np.pi * s + 2.0) * motion_scale,    # wx
+            0.08 * np.sin(2 * np.pi * s) * motion_scale,          # wy
+            0.03 * np.sin(4 * np.pi * s) * motion_scale,          # wz
+        ])
+        r_np, t_np = (np.asarray(a) for a in se3_exp(xi))
+        # world-to-camera
+        r_wc, t_wc = r_np, t_np
+        # homography from the reference view (identity cam) to this view for
+        # the plane n.X = d (d = plane_depth > 0): H = K (R + t n^T / d) K^-1
+        h_mat = k @ (r_wc + np.outer(t_wc, n_w) / plane_depth) @ k_inv
+        img_f = cv2.warpPerspective(tex, h_mat, (w, h), flags=cv2.INTER_LINEAR,
+                                    borderMode=cv2.BORDER_REFLECT_101)
+        # analytic depth: ray r = K^-1 (u,v,1); plane in cam frame:
+        # n_c = R n_w, d_c = d - n_w . (R^T t) ... use X_c = R X_w + t
+        # world plane: n_w.X_w = plane_depth -> n_c^T X_c = d_c with
+        # n_c = R n_w and d_c = plane_depth + n_c . t
+        n_c = r_wc @ n_w
+        d_c = plane_depth + n_c @ t_wc
+        uu, vv = np.meshgrid(np.arange(w), np.arange(h))
+        rays = np.stack([(uu - cx) / fx, (vv - cy) / fy, np.ones_like(uu, np.float64)], -1)
+        denom = rays @ n_c
+        depth = np.where(np.abs(denom) > 1e-9, d_c / denom, 0.0)
+        depth = np.where(depth > 0.05, depth, 0.0)
+        images.append(img_f.astype(np.float32))
+        depths.append(depth.astype(np.float32))
+        rots.append(r_wc)
+        trans.append(t_wc)
+        stamps.append(f / 30.0)
+    return RGBDSequence(images=np.stack(images), depths=np.stack(depths),
+                        poses_r=np.stack(rots).astype(np.float32),
+                        poses_t=np.stack(trans).astype(np.float32),
+                        intr=DEFAULT_INTR.copy(), timestamps=np.array(stamps))
+
+
+def ba_problem(seed: int = 0, n_cams: int = 6, n_pts: int = 80,
+               pixel_noise: float = 0.5, pose_perturb: float = 0.05,
+               point_perturb: float = 0.05):
+    """Random BA problem + ground truth (cameras ringed around a point cloud).
+
+    Returns (perturbed BAProblem arrays dict, ground-truth dict).
+    """
+    rs = np.random.default_rng(seed)
+    fx, fy, cx, cy = DEFAULT_INTR
+    pts = rs.uniform([-1.5, -1.5, 3.0], [1.5, 1.5, 5.0], size=(n_pts, 3))
+
+    rots, trans = [], []
+    for c in range(n_cams):
+        xi = np.array([
+            0.8 * np.sin(2 * np.pi * c / n_cams), 0.3 * np.cos(2 * np.pi * c / n_cams),
+            0.1 * rs.normal(),
+            0.05 * rs.normal(), 0.05 * rs.normal(), 0.05 * rs.normal()])
+        r_np, t_np = (np.asarray(a) for a in se3_exp(xi))
+        rots.append(r_np)
+        trans.append(t_np)
+    rots = np.stack(rots)
+    trans = np.stack(trans)
+
+    cam_idx = np.repeat(np.arange(n_cams), n_pts)
+    pt_idx = np.tile(np.arange(n_pts), n_cams)
+    pc = np.einsum("oij,oj->oi", rots[cam_idx], pts[pt_idx]) + trans[cam_idx]
+    uv = np.stack([pc[:, 0] / pc[:, 2] * fx + cx,
+                   pc[:, 1] / pc[:, 2] * fy + cy], -1)
+    uv += rs.normal(scale=pixel_noise, size=uv.shape)
+    in_img = ((uv[:, 0] > 0) & (uv[:, 0] < 640) & (uv[:, 1] > 0)
+              & (uv[:, 1] < 480) & (pc[:, 2] > 0.1))
+
+    # perturb initial estimate; cameras 0 and 1 stay exact (gauge anchors:
+    # two fixed poses pin the similarity gauge incl. scale)
+    rots_p, trans_p = [rots[0], rots[1]], [trans[0], trans[1]]
+    for c in range(2, n_cams):
+        xi = rs.normal(scale=pose_perturb, size=6)
+        dr_np, dt_np = (np.asarray(a) for a in se3_exp(xi))
+        rots_p.append(dr_np @ rots[c])
+        trans_p.append(dr_np @ trans[c] + dt_np)
+    pts_p = pts + rs.normal(scale=point_perturb, size=pts.shape)
+
+    problem = dict(
+        poses_r=np.stack(rots_p).astype(np.float32),
+        poses_t=np.stack(trans_p).astype(np.float32),
+        points=pts_p.astype(np.float32),
+        intr=DEFAULT_INTR.copy(),
+        cam_idx=cam_idx.astype(np.int32),
+        pt_idx=pt_idx.astype(np.int32),
+        uv=uv.astype(np.float32),
+        w=in_img.astype(np.float32),
+    )
+    truth = dict(poses_r=rots, poses_t=trans, points=pts)
+    return problem, truth
+
+
+def pose_ring(n: int = 20, drift: float = 0.02, seed: int = 0):
+    """Circular trajectory with drifty odometry + one exact loop closure.
+
+    Returns dict with ground-truth poses, noisy initial poses, and edges
+    (odometry chain + closure) for pose-graph tests.
+    """
+    rs = np.random.default_rng(seed)
+    radius = 2.0
+    rots, trans = [], []
+    for i in range(n):
+        a = 2 * np.pi * i / n
+        # camera on a circle in the xz plane, yaw following the tangent
+        xi = np.array([radius * np.cos(a), 0.0, radius * np.sin(a), 0.0, -a, 0.0])
+        r_np, t_np = (np.asarray(x) for x in se3_exp(np.array([0.0, 0, 0, 0, -a, 0])))
+        rots.append(r_np)
+        trans.append(-r_np @ np.array([radius * np.cos(a), 0.0, radius * np.sin(a)]))
+    rots = np.stack(rots)
+    trans = np.stack(trans)
+
+    edges_i = np.arange(n - 1)
+    edges_j = np.arange(1, n)
+    meas_r, meas_t = [], []
+    for i, j in zip(edges_i, edges_j):
+        # T_i * T_j^-1 with noise
+        rrel = rots[i] @ rots[j].T
+        trel = trans[i] - rrel @ trans[j]
+        dr_np, dt_np = (np.asarray(x) for x in se3_exp(rs.normal(scale=drift, size=6)))
+        meas_r.append(dr_np @ rrel)
+        meas_t.append(dr_np @ trel + dt_np)
+    # loop closure n-1 -> 0, exact
+    edges_i = np.append(edges_i, n - 1)
+    edges_j = np.append(edges_j, 0)
+    rrel = rots[n - 1] @ rots[0].T
+    meas_r.append(rrel)
+    meas_t.append(trans[n - 1] - rrel @ trans[0])
+
+    # initial guess: integrate noisy odometry
+    rots_0, trans_0 = [rots[0]], [trans[0]]
+    for e in range(n - 1):
+        # T_j = T_rel^-1 * T_i with T_rel measured
+        rrel, trel = meas_r[e], meas_t[e]
+        rj = rrel.T @ rots_0[-1]
+        tj = rrel.T @ (trans_0[-1] - trel)
+        rots_0.append(rj)
+        trans_0.append(tj)
+
+    return dict(
+        gt_r=rots.astype(np.float32), gt_t=trans.astype(np.float32),
+        init_r=np.stack(rots_0).astype(np.float32),
+        init_t=np.stack(trans_0).astype(np.float32),
+        edge_i=edges_i.astype(np.int32), edge_j=edges_j.astype(np.int32),
+        meas_r=np.stack(meas_r).astype(np.float32),
+        meas_t=np.stack(meas_t).astype(np.float32),
+        weight=np.ones(n, np.float32),
+    )

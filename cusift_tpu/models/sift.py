@@ -1,0 +1,94 @@
+"""End-to-end SIFT extraction pipeline (the flagship "model").
+
+Reference analog: ``ExtractSift`` / ``ExtractSiftLoop`` / ``ExtractSiftOctave``
+host orchestration (SURVEY.md C11, §3.1).  The reference reads the keypoint
+counter back to the host between stages (a sync bubble per octave); here the
+whole pipeline — pyramid, detection, orientation, descriptors, compaction —
+is ONE jitted function with static shapes, so a single XLA program runs per
+frame with zero host round-trips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SiftConfig
+from ..ops.describe import descriptors
+from ..ops.detect import detect_octave
+from ..ops.gaussian import image_gradients
+from ..ops.keypoints import Keypoints
+from ..ops.orientation import dominant_orientations, orientation_histograms
+from ..ops.pyramid import build_pyramid
+
+
+class SiftFeatures(NamedTuple):
+    """Static-capacity feature set: one row per (keypoint, orientation) slot.
+
+    The reference's ``SiftData`` array of ``SiftPoint`` structs
+    (SURVEY.md C4) as a struct-of-arrays with a validity mask.
+    """
+
+    x: jnp.ndarray            # [N] base-image column
+    y: jnp.ndarray            # [N] base-image row
+    sigma: jnp.ndarray        # [N]
+    orientation: jnp.ndarray  # [N] radians
+    response: jnp.ndarray     # [N] DoG contrast ("sharpness")
+    edgeness: jnp.ndarray     # [N]
+    octave: jnp.ndarray       # [N] int32
+    desc: jnp.ndarray         # [N, 128] L2-normalised
+    valid: jnp.ndarray        # [N] bool
+
+    @property
+    def count(self):
+        return jnp.sum(self.valid.astype(jnp.int32))
+
+
+def _slots_from(kps: Keypoints, theta: jnp.ndarray, desc: jnp.ndarray,
+                slot_valid: jnp.ndarray, m: int) -> SiftFeatures:
+    rep = lambda a: jnp.repeat(a, m, axis=0)
+    return SiftFeatures(
+        x=rep(kps.x), y=rep(kps.y), sigma=rep(kps.sigma),
+        orientation=theta.reshape(-1),
+        response=rep(kps.response), edgeness=rep(kps.edgeness),
+        octave=rep(kps.octave), desc=desc, valid=slot_valid,
+    )
+
+
+def _concat(parts: list[SiftFeatures]) -> SiftFeatures:
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *parts)
+
+
+def _topk(feats: SiftFeatures, n: int) -> SiftFeatures:
+    score = jnp.where(feats.valid, jnp.abs(feats.response), -jnp.inf)
+    _, idx = jax.lax.top_k(score, n)
+    out = jax.tree.map(lambda a: a[idx], feats)
+    return out._replace(valid=out.valid & jnp.isfinite(score[idx]))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def extract(img: jnp.ndarray, cfg: SiftConfig = SiftConfig()) -> SiftFeatures:
+    """SIFT features of a [H, W] grayscale image in [0, 1].
+
+    Returns a SiftFeatures buffer of static capacity cfg.total_kpts.
+    """
+    octaves = build_pyramid(img, cfg)
+    m = cfg.max_orientations
+    parts = []
+    for oi, oct_ in enumerate(octaves):
+        kps = detect_octave(oct_, oi, cfg)
+        gdx, gdy = image_gradients(oct_.gauss)
+        hist = orientation_histograms(gdx, gdy, kps, cfg)
+        theta, ok = dominant_orientations(hist, cfg)
+        desc, slot_valid = descriptors(gdx, gdy, kps, theta, ok, cfg)
+        parts.append(_slots_from(kps, theta, desc, slot_valid, m))
+    return _topk(_concat(parts), cfg.total_kpts)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def extract_batch(imgs: jnp.ndarray, cfg: SiftConfig = SiftConfig()) -> SiftFeatures:
+    """vmapped extraction over a [B, H, W] batch of frames."""
+    return jax.vmap(lambda im: extract(im, cfg))(imgs)

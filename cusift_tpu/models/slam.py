@@ -1,0 +1,328 @@
+"""Keyframe RGB-D SLAM: tracking, keyframing, loop closure, pose graph.
+
+New surface relative to the reference (SURVEY.md §0, BASELINE configs[3]):
+cuSIFT provides extract/match/rigid-align; this module composes them into a
+full SLAM system.  TPU design: every per-frame kernel (extract, match,
+RANSAC, retrieval scoring) is a jitted static-shape program compiled once;
+only the *decisions* (keyframe promotion, loop acceptance) run on the host.
+Keyframe storage is a fixed-capacity ring of descriptor/geometry buffers so
+nothing ever recompiles as the map grows.
+
+Checkpoint/resume (SURVEY.md §5.3-5.4): the whole SlamState serialises to
+one npz; `Slam.checkpoint` / `Slam.restore` give mid-sequence restart — the
+failure-recovery story the fail-fast reference lacks entirely.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (MatchConfig, RansacConfig, SiftConfig, SlamConfig)
+from ..data.evaluation import ate_rmse
+from ..ops.geometry import backproject
+from ..ops.match import match
+from ..ops.ransac import find_rigid
+from ..optim.lie import compose, inverse, se3_log
+from ..optim.posegraph import PoseGraph, optimize as pg_optimize
+from ..config import PoseGraphConfig
+from .sift import extract
+
+
+@partial(jax.jit, static_argnames=("sift_cfg",))
+def _extract_with_points(img, depth, intr, sift_cfg: SiftConfig):
+    """Features + camera-frame 3D backprojections (z = 0 where invalid)."""
+    f = extract(img, sift_cfg)
+    xi = jnp.clip(jnp.round(f.x).astype(jnp.int32), 0, depth.shape[1] - 1)
+    yi = jnp.clip(jnp.round(f.y).astype(jnp.int32), 0, depth.shape[0] - 1)
+    d = depth[yi, xi] * f.valid
+    pts = backproject(jnp.stack([f.x, f.y], -1), d,
+                      intr[0], intr[1], intr[2], intr[3])
+    return f, pts, (d > 1e-6) & f.valid
+
+
+@partial(jax.jit, static_argnames=("match_cfg", "ransac_cfg"))
+def _track(desc_a, valid_a, pts_a, desc_b, valid_b, pts_b,
+           match_cfg: MatchConfig, ransac_cfg: RansacConfig, key):
+    """Match frame A to frame B and fit rigid T with pts_b ~ R pts_a + t."""
+    m = match(desc_a, valid_a, desc_b, valid_b, match_cfg)
+    pb = pts_b[m.idx]
+    ok = m.ok & valid_a & (pts_a[:, 2] > 1e-6) & (pb[:, 2] > 1e-6)
+    rig = find_rigid(pts_a, pb, ok, ransac_cfg, key)
+    return rig, m
+
+
+@jax.jit
+def _kf_scores(query_desc, query_valid, kf_desc, kf_valid, kf_active):
+    """[MAXKF] similarity of a query frame to every stored keyframe.
+
+    Mean best-correlation over valid query descriptors — the bag-of-features
+    retrieval proxy; runs as one batched MXU matmul over the whole keyframe
+    ring (the reference has no retrieval at all).
+    """
+    sim = jnp.einsum("nd,kmd->knm", query_desc, kf_desc,
+                     preferred_element_type=jnp.float32)
+    sim = jnp.where(kf_valid[:, None, :], sim, -jnp.inf)
+    best = jnp.max(sim, axis=-1)                                  # [KF, N]
+    best = jnp.where(query_valid[None, :] & jnp.isfinite(best), best, 0.0)
+    scores = jnp.sum(best, -1) / jnp.maximum(jnp.sum(query_valid), 1.0)
+    return jnp.where(kf_active, scores, -jnp.inf)
+
+
+@dataclasses.dataclass
+class SlamState:
+    """Fixed-capacity SLAM map (host-held, device-resident arrays)."""
+
+    kf_desc: jnp.ndarray      # [KF, N, 128]
+    kf_valid: jnp.ndarray     # [KF, N]
+    kf_pts: jnp.ndarray       # [KF, N, 3] camera-frame backprojections
+    kf_pose_r: jnp.ndarray    # [KF, 3, 3] world-to-camera
+    kf_pose_t: jnp.ndarray    # [KF, 3]
+    n_kf: int
+    # pose-graph edges (host lists; bounded by frames processed)
+    edge_i: list
+    edge_j: list
+    meas_r: list
+    meas_t: list
+    weight: list
+    # trajectory: per processed frame (ref_kf, T_cur<-kf as (R, t), tracked)
+    traj_ref: list
+    traj_rel_r: list
+    traj_rel_t: list
+    traj_ok: list
+    n_closures: int = 0
+
+
+class Slam:
+    """Sequential RGB-D SLAM driver (BASELINE configs[3])."""
+
+    def __init__(self, intr, sift_cfg=SiftConfig(), match_cfg=MatchConfig(),
+                 ransac_cfg=RansacConfig(), slam_cfg=SlamConfig(),
+                 pg_cfg=PoseGraphConfig(), seed: int = 0):
+        self.intr = jnp.asarray(intr)
+        self.sift_cfg = sift_cfg
+        self.match_cfg = match_cfg
+        self.ransac_cfg = ransac_cfg
+        self.cfg = slam_cfg
+        self.pg_cfg = pg_cfg
+        self.key = jax.random.PRNGKey(seed)
+        n = sift_cfg.total_kpts
+        kf = slam_cfg.max_keyframes
+        eye = jnp.broadcast_to(jnp.eye(3), (kf, 3, 3))
+        self.state = SlamState(
+            kf_desc=jnp.zeros((kf, n, 128)), kf_valid=jnp.zeros((kf, n), bool),
+            kf_pts=jnp.zeros((kf, n, 3)), kf_pose_r=eye,
+            kf_pose_t=jnp.zeros((kf, 3)), n_kf=0,
+            edge_i=[], edge_j=[], meas_r=[], meas_t=[], weight=[],
+            traj_ref=[], traj_rel_r=[], traj_rel_t=[], traj_ok=[])
+        self.metrics: list[dict] = []
+
+    # ---------- keyframe management ----------
+
+    def _add_keyframe(self, desc, valid, pts, pose_r, pose_t) -> int:
+        s = self.state
+        i = s.n_kf
+        assert i < self.cfg.max_keyframes, "keyframe capacity exceeded"
+        s.kf_desc = s.kf_desc.at[i].set(desc)
+        s.kf_valid = s.kf_valid.at[i].set(valid)
+        s.kf_pts = s.kf_pts.at[i].set(pts)
+        s.kf_pose_r = s.kf_pose_r.at[i].set(pose_r)
+        s.kf_pose_t = s.kf_pose_t.at[i].set(pose_t)
+        s.n_kf = i + 1
+        return i
+
+    def _add_edge(self, i, j, rel_r, rel_t, weight=1.0):
+        """Edge constraint: measured T_i * T_j^-1 (world-to-cam convention)."""
+        s = self.state
+        s.edge_i.append(int(i))
+        s.edge_j.append(int(j))
+        s.meas_r.append(np.asarray(rel_r))
+        s.meas_t.append(np.asarray(rel_t))
+        s.weight.append(float(weight))
+
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    # ---------- main loop ----------
+
+    def process_frame(self, img, depth) -> dict:
+        """Track one RGB-D frame; returns per-frame metrics."""
+        s = self.state
+        img = jnp.asarray(img)
+        depth = jnp.asarray(depth)
+        feats, pts, pvalid = _extract_with_points(img, depth, self.intr,
+                                                  self.sift_cfg)
+        desc, valid = feats.desc, feats.valid
+
+        if s.n_kf == 0:
+            i = self._add_keyframe(desc, valid, pts, jnp.eye(3), jnp.zeros(3))
+            s.traj_ref.append(i)
+            s.traj_rel_r.append(np.eye(3, dtype=np.float32))
+            s.traj_rel_t.append(np.zeros(3, np.float32))
+            s.traj_ok.append(True)
+            rec = {"frame": 0, "kpts": int(feats.count), "matches": 0,
+                   "inliers": 0, "keyframe": True, "loop": False}
+            self.metrics.append(rec)
+            return rec
+
+        ref = s.n_kf - 1
+        rig, m = _track(desc, valid, pts, s.kf_desc[ref], s.kf_valid[ref],
+                        s.kf_pts[ref], self.match_cfg, self.ransac_cfg,
+                        self._next_key())
+        inl = int(rig.num_inliers)
+        tracked = bool(rig.ok) and inl >= self.cfg.track_min_inliers
+
+        if tracked:
+            # rig: X_ref = R X_cur + t  =>  T_cur<-ref = (R, t)^-1
+            rel_r, rel_t = inverse(rig.r, rig.t)
+        else:
+            # tracking lost: assume no motion relative to reference keyframe
+            rel_r, rel_t = (np.asarray(s.traj_rel_r[-1]),
+                            np.asarray(s.traj_rel_t[-1]))
+            rel_r, rel_t = jnp.asarray(rel_r), jnp.asarray(rel_t)
+
+        xi = np.asarray(se3_log(rel_r, rel_t))
+        trans_mag = float(np.linalg.norm(xi[:3]))
+        rot_mag = float(np.linalg.norm(xi[3:]))
+        need_kf = tracked and (
+            inl < self.cfg.kf_min_inliers
+            or trans_mag > self.cfg.kf_max_translation
+            or rot_mag > self.cfg.kf_max_rotation)
+
+        loop_found = False
+        if need_kf and s.n_kf < self.cfg.max_keyframes:
+            # pose of the new keyframe: T_cur<-w = T_cur<-ref * T_ref<-w
+            pose_r, pose_t = compose(rel_r, rel_t,
+                                     s.kf_pose_r[ref], s.kf_pose_t[ref])
+            j = self._add_keyframe(desc, valid, pts, pose_r, pose_t)
+            # odometry edge ref -> j measured T_ref * T_j^-1
+            o_r, o_t = inverse(rel_r, rel_t)
+            self._add_edge(ref, j, o_r, o_t, 1.0)
+            loop_found = self._try_loop_closure(j, desc, valid, pts)
+            s.traj_ref.append(j)
+            s.traj_rel_r.append(np.eye(3, dtype=np.float32))
+            s.traj_rel_t.append(np.zeros(3, np.float32))
+        else:
+            s.traj_ref.append(ref)
+            s.traj_rel_r.append(np.asarray(rel_r))
+            s.traj_rel_t.append(np.asarray(rel_t))
+        s.traj_ok.append(tracked)
+
+        rec = {"frame": len(s.traj_ref) - 1, "kpts": int(feats.count),
+               "matches": int(np.asarray(m.ok).sum()), "inliers": inl,
+               "keyframe": bool(need_kf), "loop": bool(loop_found),
+               "tracked": tracked}
+        self.metrics.append(rec)
+        if (self.cfg.checkpoint_every
+                and s.n_kf % self.cfg.checkpoint_every == 0):
+            self.checkpoint(f"slam_ckpt_{s.n_kf:04d}.npz")
+        return rec
+
+    def _try_loop_closure(self, j, desc, valid, pts) -> bool:
+        """Retrieval + geometric verification + pose-graph update."""
+        s = self.state
+        active = np.zeros(self.cfg.max_keyframes, bool)
+        lo = max(0, s.n_kf - 1 - self.cfg.loop_temporal_gap)
+        active[:lo] = True
+        if not active.any():
+            return False
+        scores = np.asarray(_kf_scores(desc, valid, s.kf_desc, s.kf_valid,
+                                       jnp.asarray(active)))
+        cand = int(np.argmax(scores))
+        if not np.isfinite(scores[cand]) or scores[cand] < self.cfg.loop_min_score:
+            return False
+        rig, _ = _track(desc, valid, pts, s.kf_desc[cand], s.kf_valid[cand],
+                        s.kf_pts[cand], self.match_cfg, self.ransac_cfg,
+                        self._next_key())
+        if not bool(rig.ok) or int(rig.num_inliers) < self.cfg.loop_min_inliers:
+            return False
+        # X_cand = R X_j + t  =>  T_j<-cand = (R,t)^-1; edge cand -> j
+        # measured T_cand * T_j^-1 = (R, t)... edge convention: T_i T_j^-1
+        self._add_edge(cand, j, rig.r, rig.t, 2.0)
+        s.n_closures += 1
+        self._optimize_graph()
+        return True
+
+    def _optimize_graph(self):
+        s = self.state
+        if not s.edge_i:
+            return
+        kf = self.cfg.max_keyframes
+        e = len(s.edge_i)
+        g = PoseGraph(
+            poses_r=s.kf_pose_r, poses_t=s.kf_pose_t,
+            edge_i=jnp.asarray(np.array(s.edge_i, np.int32)),
+            edge_j=jnp.asarray(np.array(s.edge_j, np.int32)),
+            meas_r=jnp.asarray(np.stack(s.meas_r)),
+            meas_t=jnp.asarray(np.stack(s.meas_t)),
+            weight=jnp.asarray(np.array(s.weight, np.float32)),
+        )
+        res = pg_optimize(g, self.pg_cfg)
+        s.kf_pose_r = res.poses_r
+        s.kf_pose_t = res.poses_t
+
+    # ---------- outputs ----------
+
+    def trajectory(self):
+        """Per-frame world-to-camera poses (after all optimisation)."""
+        s = self.state
+        kr = np.asarray(s.kf_pose_r)
+        kt = np.asarray(s.kf_pose_t)
+        rs, ts = [], []
+        for ref, rel_r, rel_t in zip(s.traj_ref, s.traj_rel_r, s.traj_rel_t):
+            r = rel_r @ kr[ref]
+            t = rel_r @ kt[ref] + rel_t
+            rs.append(r)
+            ts.append(t)
+        return np.stack(rs), np.stack(ts)
+
+    def ate(self, gt_r, gt_t) -> float:
+        est_r, est_t = self.trajectory()
+        return ate_rmse(est_r, est_t, gt_r, gt_t)
+
+    # ---------- checkpoint / resume ----------
+
+    def checkpoint(self, path: str):
+        s = self.state
+        np.savez_compressed(
+            path,
+            kf_desc=np.asarray(s.kf_desc), kf_valid=np.asarray(s.kf_valid),
+            kf_pts=np.asarray(s.kf_pts), kf_pose_r=np.asarray(s.kf_pose_r),
+            kf_pose_t=np.asarray(s.kf_pose_t), n_kf=s.n_kf,
+            edge_i=np.array(s.edge_i, np.int32),
+            edge_j=np.array(s.edge_j, np.int32),
+            meas_r=np.stack(s.meas_r) if s.meas_r else np.zeros((0, 3, 3)),
+            meas_t=np.stack(s.meas_t) if s.meas_t else np.zeros((0, 3)),
+            weight=np.array(s.weight, np.float32),
+            traj_ref=np.array(s.traj_ref, np.int32),
+            traj_rel_r=np.stack(s.traj_rel_r) if s.traj_rel_r else np.zeros((0, 3, 3)),
+            traj_rel_t=np.stack(s.traj_rel_t) if s.traj_rel_t else np.zeros((0, 3)),
+            traj_ok=np.array(s.traj_ok, bool),
+            n_closures=s.n_closures, key=np.asarray(self.key),
+        )
+
+    def restore(self, path: str):
+        z = np.load(path)
+        s = self.state
+        s.kf_desc = jnp.asarray(z["kf_desc"])
+        s.kf_valid = jnp.asarray(z["kf_valid"])
+        s.kf_pts = jnp.asarray(z["kf_pts"])
+        s.kf_pose_r = jnp.asarray(z["kf_pose_r"])
+        s.kf_pose_t = jnp.asarray(z["kf_pose_t"])
+        s.n_kf = int(z["n_kf"])
+        s.edge_i = list(z["edge_i"])
+        s.edge_j = list(z["edge_j"])
+        s.meas_r = list(z["meas_r"])
+        s.meas_t = list(z["meas_t"])
+        s.weight = list(z["weight"])
+        s.traj_ref = list(z["traj_ref"])
+        s.traj_rel_r = list(z["traj_rel_r"])
+        s.traj_rel_t = list(z["traj_rel_t"])
+        s.traj_ok = list(z["traj_ok"])
+        s.n_closures = int(z["n_closures"])
+        self.key = jnp.asarray(z["key"])

@@ -1,0 +1,157 @@
+"""DoG extrema detection, subpixel refinement, static compaction.
+
+Reference analog: the ``FindPointsMulti`` CUDA kernel (SURVEY.md C8):
+thread-per-pixel 26-neighbour extremum test, contrast/edge rejection, 3-D
+quadratic refinement, atomic append.  TPU design (SURVEY.md §2.2, §7):
+
+* the 26-neighbour test is one `lax.reduce_window` max/min over the
+  [S+2, H, W] DoG stack — dense, VPU-friendly, no divergence;
+* candidates are compacted with `top_k` on |DoG| into a static
+  per-octave budget (no atomics, no host sync);
+* quadratic refinement runs only on the compacted candidates as a
+  vmapped, statically-unrolled iteration of 3x3x3 gathers — the cheap
+  narrow phase after the dense wide phase.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import SiftConfig
+from .keypoints import Keypoints, concat_keypoints, topk_keypoints
+from .pyramid import Octave
+
+
+def _extrema_mask(dog: jnp.ndarray, prefilter: float) -> jnp.ndarray:
+    """[S, H, W] bool: strict 26-neighbour extrema of dog[1:S+1].
+
+    dog is the full [S+2, H, W] stack; detection levels are 1..S.
+    """
+    wmax = lax.reduce_window(dog, -jnp.inf, lax.max, (3, 3, 3), (1, 1, 1), "VALID")
+    wmin = lax.reduce_window(dog, jnp.inf, lax.min, (3, 3, 3), (1, 1, 1), "VALID")
+    centre = dog[1:-1, 1:-1, 1:-1]
+    # centre equals window max/min iff it is >= / <= all 26 neighbours; break
+    # plateau ties by requiring the value to also clear the prefilter.
+    is_max = (centre >= wmax) & (centre > prefilter)
+    is_min = (centre <= wmin) & (centre < -prefilter)
+    mask = is_max | is_min
+    return jnp.pad(mask, ((0, 0), (1, 1), (1, 1)))  # [S, H, W]
+
+
+def _cube_derivs(cube: jnp.ndarray):
+    """Gradient and Hessian of a 3x3x3 DoG neighbourhood (s, y, x order)."""
+    c = cube
+    v = c[1, 1, 1]
+    dx = 0.5 * (c[1, 1, 2] - c[1, 1, 0])
+    dy = 0.5 * (c[1, 2, 1] - c[1, 0, 1])
+    ds = 0.5 * (c[2, 1, 1] - c[0, 1, 1])
+    dxx = c[1, 1, 2] - 2 * v + c[1, 1, 0]
+    dyy = c[1, 2, 1] - 2 * v + c[1, 0, 1]
+    dss = c[2, 1, 1] - 2 * v + c[0, 1, 1]
+    dxy = 0.25 * (c[1, 2, 2] - c[1, 2, 0] - c[1, 0, 2] + c[1, 0, 0])
+    dxs = 0.25 * (c[2, 1, 2] - c[2, 1, 0] - c[0, 1, 2] + c[0, 1, 0])
+    dys = 0.25 * (c[2, 2, 1] - c[2, 0, 1] - c[0, 2, 1] + c[0, 0, 1])
+    g = jnp.stack([dx, dy, ds])
+    H = jnp.array([[dxx, dxy, dxs],
+                   [dxy, dyy, dys],
+                   [dxs, dys, dss]])
+    return v, g, H
+
+
+def _solve3(H: jnp.ndarray, g: jnp.ndarray):
+    """offset = -H^-1 g via adjugate; returns (offset, ok)."""
+    det = jnp.linalg.det(H)
+    ok = jnp.abs(det) > 1e-12
+    adj = jnp.linalg.inv(jnp.where(ok, H, jnp.eye(3)))
+    off = -adj @ g
+    return jnp.where(ok, off, 0.0), ok
+
+
+def _refine_one(dog: jnp.ndarray, lvl, y, x, cfg: SiftConfig):
+    """Iteratively refine one candidate; returns refined state + validity."""
+    s_levels, h, w = dog.shape  # s_levels = S + 2
+
+    def gather_cube(lvl, y, x):
+        return lax.dynamic_slice(dog, (lvl - 1, y - 1, x - 1), (3, 3, 3))
+
+    def step(carry, _):
+        lvl, y, x, _, _, _, _ = carry
+        cube = gather_cube(lvl, y, x)
+        v, g, H = _cube_derivs(cube)
+        off, ok = _solve3(H, g)
+        # move the integer location while the offset escapes the pixel
+        mx = jnp.round(off[0]).astype(jnp.int32)
+        my = jnp.round(off[1]).astype(jnp.int32)
+        ms = jnp.round(off[2]).astype(jnp.int32)
+        x2 = jnp.clip(x + mx, 1, w - 2)
+        y2 = jnp.clip(y + my, 1, h - 2)
+        l2 = jnp.clip(lvl + ms, 1, s_levels - 2)
+        return (l2, y2, x2, off, v, g, ok), None
+
+    init = (lvl, y, x, jnp.zeros(3), 0.0, jnp.zeros(3), True)
+    (lvl, y, x, off, v, g, ok), _ = lax.scan(step, init, None, length=cfg.refine_iters)
+    # recompute at the final integer location for consistent derivatives
+    cube = gather_cube(lvl, y, x)
+    v, g, H = _cube_derivs(cube)
+    off, ok2 = _solve3(H, g)
+    contrast = v + 0.5 * jnp.dot(g, off)
+
+    converged = jnp.all(jnp.abs(off) < 1.0) & ok & ok2
+    # 2x2 spatial-Hessian edge rejection
+    tr = H[0, 0] + H[1, 1]
+    det2 = H[0, 0] * H[1, 1] - H[0, 1] * H[0, 1]
+    r = cfg.edge_thresh
+    edge_ok = (det2 > 0) & (tr * tr * r < (r + 1) ** 2 * det2)
+    edgeness = jnp.where(det2 > 0, tr * tr / jnp.maximum(det2, 1e-12), jnp.inf)
+
+    contrast_ok = jnp.abs(contrast) * cfg.scales_per_octave >= cfg.contrast_thresh
+    xo = x.astype(jnp.float32) + off[0]
+    yo = y.astype(jnp.float32) + off[1]
+    so = lvl.astype(jnp.float32) + off[2]
+    in_bounds = ((xo >= cfg.border) & (xo < w - cfg.border) &
+                 (yo >= cfg.border) & (yo < h - cfg.border))
+    valid = converged & edge_ok & contrast_ok & in_bounds
+    return xo, yo, so, lvl, contrast, edgeness, valid
+
+
+def detect_octave(oct_: Octave, octave_idx: int, cfg: SiftConfig) -> Keypoints:
+    """All keypoints of one octave, compacted to cfg.max_kpts_per_octave."""
+    dog = oct_.dog  # [S+2, H, W]
+    s, h, w = dog.shape
+    prefilter = 0.5 * cfg.contrast_thresh / cfg.scales_per_octave
+
+    mask = _extrema_mask(dog, prefilter)                       # [S, H, W]
+    score = jnp.where(mask, jnp.abs(dog[1:-1]), -jnp.inf)
+    k = cfg.max_kpts_per_octave
+    flat_score, flat_idx = lax.top_k(score.reshape(-1), k)
+    lvl = (flat_idx // (h * w)).astype(jnp.int32) + 1          # DoG level 1..S
+    rem = flat_idx % (h * w)
+    y = (rem // w).astype(jnp.int32)
+    x = (rem % w).astype(jnp.int32)
+    cand_valid = jnp.isfinite(flat_score)
+    # keep gathers in-bounds for invalid lanes
+    y = jnp.clip(y, 1, h - 2)
+    x = jnp.clip(x, 1, w - 2)
+
+    xo, yo, so, lvl_f, contrast, edgeness, valid = jax.vmap(
+        lambda l, yy, xx: _refine_one(dog, l, yy, xx, cfg)
+    )(lvl, y, x)
+    valid = valid & cand_valid
+
+    # octave-local -> base-image coordinates
+    scale_mult = float(2 ** octave_idx) * (0.5 if cfg.upscale else 1.0)
+    sigma = cfg.sigma0 * (2.0 ** (so / cfg.scales_per_octave)) * scale_mult
+    return Keypoints(
+        x=xo * scale_mult, y=yo * scale_mult, sigma=sigma,
+        response=contrast, edgeness=edgeness,
+        octave=jnp.full_like(lvl_f, octave_idx),
+        level=lvl_f, xo=xo, yo=yo, so=so, valid=valid,
+    )
+
+
+def detect(octaves: list[Octave], cfg: SiftConfig) -> Keypoints:
+    """Keypoints over all octaves, compacted to the global cfg.max_kpts."""
+    per_oct = [detect_octave(o, i, cfg) for i, o in enumerate(octaves)]
+    return topk_keypoints(concat_keypoints(per_oct), cfg.max_kpts)

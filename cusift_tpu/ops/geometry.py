@@ -1,0 +1,93 @@
+"""Geometry primitives: homographies, pinhole projection, Procrustes.
+
+Reference analog: the hand-rolled per-thread linear algebra in
+``ComputeHomographies`` / ``geomFuncs.cpp`` and the rigid-transform solve
+(SURVEY.md C13–C15).  Here every solver is batched (vmap) and built from
+`jnp.linalg` so it lowers to XLA-fused dense kernels.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def apply_homography(h: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Map [N, 2] points through a [3, 3] homography."""
+    p = jnp.concatenate([pts, jnp.ones_like(pts[:, :1])], -1)
+    q = p @ h.T
+    return q[:, :2] / jnp.where(jnp.abs(q[:, 2:]) > 1e-12, q[:, 2:], 1e-12)
+
+
+def normalise_points(pts: jnp.ndarray, w: jnp.ndarray):
+    """Hartley normalisation: zero-mean, mean length sqrt(2); weighted.
+
+    Returns (normalised points, T [3,3]) with p_norm = T @ p.
+    """
+    wsum = jnp.maximum(jnp.sum(w), 1e-12)
+    c = jnp.sum(pts * w[:, None], 0) / wsum
+    d = jnp.sqrt(jnp.sum((pts - c) ** 2, -1))
+    mean_d = jnp.sum(d * w) / wsum
+    s = jnp.sqrt(2.0) / jnp.maximum(mean_d, 1e-12)
+    t = jnp.array([[s, 0.0, -s * c[0]], [0.0, s, -s * c[1]], [0.0, 0.0, 1.0]])
+    return (pts - c) * s, t
+
+
+def homography_rows(pa: jnp.ndarray, pb: jnp.ndarray):
+    """DLT rows with h33 := 1: A [2N, 8], b [2N] such that A h8 = b."""
+    n = pa.shape[0]
+    xa, ya = pa[:, 0], pa[:, 1]
+    xb, yb = pb[:, 0], pb[:, 1]
+    z = jnp.zeros(n)
+    o = jnp.ones(n)
+    rx = jnp.stack([xa, ya, o, z, z, z, -xb * xa, -xb * ya], -1)
+    ry = jnp.stack([z, z, z, xa, ya, o, -yb * xa, -yb * ya], -1)
+    a = jnp.concatenate([rx, ry], 0)
+    b = jnp.concatenate([xb, yb], 0)
+    return a, b
+
+
+def solve_homography(pa: jnp.ndarray, pb: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Weighted least-squares homography (h33=1 gauge) with normalisation.
+
+    pa, pb: [N, 2]; w: [N] weights. Minimal 4-point solves use w = one-hot.
+    """
+    pan, ta = normalise_points(pa, w)
+    pbn, tb = normalise_points(pb, w)
+    a, b = homography_rows(pan, pbn)
+    ww = jnp.concatenate([w, w], 0)[:, None]
+    ata = (a * ww).T @ a + 1e-10 * jnp.eye(8)
+    atb = (a * ww).T @ b
+    h8 = jnp.linalg.solve(ata, atb)
+    hn = jnp.concatenate([h8, jnp.ones(1)]).reshape(3, 3)
+    h = jnp.linalg.inv(tb) @ hn @ ta
+    return h / jnp.where(jnp.abs(h[2, 2]) > 1e-12, h[2, 2], 1e-12)
+
+
+def procrustes(pa: jnp.ndarray, pb: jnp.ndarray, w: jnp.ndarray):
+    """Weighted rigid fit R, t with R @ pa + t ≈ pb (Kabsch/Umeyama, no scale).
+
+    pa, pb: [N, 3]; w: [N] non-negative weights.
+    """
+    wsum = jnp.maximum(jnp.sum(w), 1e-12)
+    ca = jnp.sum(pa * w[:, None], 0) / wsum
+    cb = jnp.sum(pb * w[:, None], 0) / wsum
+    cov = ((pb - cb) * w[:, None]).T @ (pa - ca)      # [3, 3]
+    u, _, vt = jnp.linalg.svd(cov)
+    d = jnp.sign(jnp.linalg.det(u @ vt))
+    s = jnp.diag(jnp.array([1.0, 1.0, 1.0]) * jnp.array([1.0, 1.0, d]))
+    r = u @ s @ vt
+    t = cb - r @ ca
+    return r, t
+
+
+def backproject(uv: jnp.ndarray, depth: jnp.ndarray, fx, fy, cx, cy) -> jnp.ndarray:
+    """[N, 2] pixels + [N] depths -> [N, 3] camera-frame points."""
+    x = (uv[:, 0] - cx) / fx * depth
+    y = (uv[:, 1] - cy) / fy * depth
+    return jnp.stack([x, y, depth], -1)
+
+
+def project(pts: jnp.ndarray, fx, fy, cx, cy) -> jnp.ndarray:
+    """[N, 3] camera-frame points -> [N, 2] pixels (no distortion)."""
+    z = jnp.where(jnp.abs(pts[:, 2]) > 1e-9, pts[:, 2], 1e-9)
+    return jnp.stack([pts[:, 0] / z * fx + cx, pts[:, 1] / z * fy + cy], -1)

@@ -1,0 +1,53 @@
+"""Brute-force descriptor matching on the MXU.
+
+Reference analog: ``MatchSiftData`` (SURVEY.md C12, hot loop #3) — a
+hand-rolled shared-memory tiled GEMM over 128-d descriptors plus per-row
+best/second-best reduction.  On TPU this is literally
+``A @ B.T`` on the systolic array followed by `top_k(2)` per row; the whole
+matcher is ~10 lines and runs at matmul speed-of-light.  A fused Pallas
+variant that never materialises the [N, M] similarity matrix in HBM lives in
+``ops/pallas/matcher.py``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MatchConfig
+
+
+class Matches(NamedTuple):
+    """Per-row-of-A match results (reference: fields written into SiftData A)."""
+
+    idx: jnp.ndarray    # [N] int32 best match in B
+    dist: jnp.ndarray   # [N] L2 distance of best match ("match_error")
+    score: jnp.ndarray  # [N] best correlation (dot product)
+    ratio: jnp.ndarray  # [N] d1/d2 ambiguity
+    ok: jnp.ndarray     # [N] passed validity + ratio test (+ cross-check)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def match(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
+          desc_b: jnp.ndarray, valid_b: jnp.ndarray,
+          cfg: MatchConfig = MatchConfig()) -> Matches:
+    """Ratio-test matching of [N, 128] against [M, 128] unit descriptors."""
+    sim = jnp.dot(desc_a, desc_b.T, preferred_element_type=jnp.float32)
+    sim = jnp.where(valid_b[None, :], sim, -jnp.inf)           # mask dead cols
+    top2, idx2 = jax.lax.top_k(sim, 2)                          # [N, 2]
+    s1, s2 = top2[:, 0], top2[:, 1]
+    # unit vectors: d^2 = 2 - 2 * <a, b>
+    d1 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * s1, 0.0))
+    d2 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * s2, 1e-12))
+    ratio = d1 / d2
+    ok = (valid_a & jnp.isfinite(s1)
+          & (ratio < cfg.ratio_thresh) & (s1 > cfg.min_score))
+    if cfg.cross_check:
+        sim_m = jnp.where(valid_a[:, None], sim, -jnp.inf)
+        best_for_b = jnp.argmax(sim_m, axis=0)                  # [M]
+        ok = ok & (best_for_b[idx2[:, 0]] == jnp.arange(desc_a.shape[0]))
+    return Matches(idx=idx2[:, 0].astype(jnp.int32), dist=d1,
+                   score=s1, ratio=ratio, ok=ok)

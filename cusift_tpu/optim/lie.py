@@ -1,0 +1,133 @@
+"""SO(3)/SE(3) Lie group operations, batch-friendly and AD-safe.
+
+New surface relative to the reference (cuSIFT stops at a single rigid
+transform; SURVEY.md §0): bundle adjustment and pose-graph optimisation need
+exp/log maps with numerically-stable small-angle branches.  All functions
+are elementwise-vectorised (vmap over leading axes) and differentiable —
+`jnp.where`-guarded Taylor expansions keep gradients finite at theta = 0.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_EPS = 1e-8
+
+
+def _safe_norm(w):
+    """Differentiable-at-zero norm: [..., 3] -> [..., 1, 1]."""
+    sq = jnp.sum(w * w, axis=-1, keepdims=True)
+    return jnp.sqrt(jnp.maximum(sq, 1e-24))[..., None]
+
+
+def hat(w: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3] -> [..., 3, 3] skew-symmetric matrix."""
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    z = jnp.zeros_like(wx)
+    return jnp.stack([
+        jnp.stack([z, -wz, wy], -1),
+        jnp.stack([wz, z, -wx], -1),
+        jnp.stack([-wy, wx, z], -1),
+    ], -2)
+
+
+def _sinc(x):
+    """sin(x)/x with Taylor fallback."""
+    small = jnp.abs(x) < 1e-4
+    xs = jnp.where(small, 1.0, x)
+    return jnp.where(small, 1.0 - x * x / 6.0, jnp.sin(xs) / xs)
+
+
+def _cosc(x):
+    """(1 - cos(x)) / x^2 with Taylor fallback."""
+    small = jnp.abs(x) < 1e-4
+    xs = jnp.where(small, 1.0, x)
+    return jnp.where(small, 0.5 - x * x / 24.0, (1.0 - jnp.cos(xs)) / (xs * xs))
+
+
+def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3] axis-angle -> [..., 3, 3] rotation (Rodrigues)."""
+    th = _safe_norm(w)  # [..., 1, 1]
+    k = hat(w)
+    k2 = k @ k
+    eye = jnp.broadcast_to(jnp.eye(3), k.shape)
+    return eye + _sinc(th) * k + _cosc(th) * k2
+
+
+def so3_log(r: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3, 3] rotation -> [..., 3] axis-angle (theta < pi - eps).
+
+    Uses atan2(sin, cos) instead of arccos so reverse-mode gradients stay
+    finite at the identity (the arccos derivative diverges at cos = 1,
+    which poisons Gauss-Newton vjps on near-converged pose graphs).
+    """
+    tr = jnp.trace(r, axis1=-2, axis2=-1)
+    cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
+    v = jnp.stack([r[..., 2, 1] - r[..., 1, 2],
+                   r[..., 0, 2] - r[..., 2, 0],
+                   r[..., 1, 0] - r[..., 0, 1]], -1)
+    sin_t = 0.5 * jnp.sqrt(jnp.maximum(jnp.sum(v * v, -1), 1e-24))
+    th = jnp.arctan2(sin_t, cos_t)[..., None]
+    # v = 2 sin(theta) * axis;  w = theta * axis = v * theta / (2 sin theta)
+    return 0.5 * v / jnp.maximum(_sinc(th), _EPS)
+
+
+def _left_jacobian(w: jnp.ndarray) -> jnp.ndarray:
+    """SO(3) left Jacobian V: se3_exp translation factor."""
+    th = _safe_norm(w)
+    k = hat(w)
+    k2 = k @ k
+    eye = jnp.broadcast_to(jnp.eye(3), k.shape)
+    small = th < 1e-4
+    ths = jnp.where(small, 1.0, th)
+    a = jnp.where(small, 0.5 - th * th / 24.0, (1.0 - jnp.cos(ths)) / (ths * ths))
+    b = jnp.where(small, 1.0 / 6.0 - th * th / 120.0, (ths - jnp.sin(ths)) / (ths ** 3))
+    return eye + a * k + b * k2
+
+
+def _left_jacobian_inv(w: jnp.ndarray) -> jnp.ndarray:
+    th = _safe_norm(w)
+    k = hat(w)
+    k2 = k @ k
+    eye = jnp.broadcast_to(jnp.eye(3), k.shape)
+    small = th < 1e-4
+    ths = jnp.where(small, 1.0, th)
+    cot = jnp.where(small, 1.0 / 12.0 + th * th / 720.0,
+                    (1.0 - 0.5 * ths * jnp.sin(ths) / jnp.maximum(1.0 - jnp.cos(ths), _EPS)) / (ths * ths))
+    return eye - 0.5 * k + cot * k2
+
+
+def se3_exp(xi: jnp.ndarray):
+    """[..., 6] twist (v, w) -> (R [..., 3, 3], t [..., 3])."""
+    v, w = xi[..., :3], xi[..., 3:]
+    r = so3_exp(w)
+    t = (_left_jacobian(w) @ v[..., None])[..., 0]
+    return r, t
+
+
+def se3_log(r: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """(R, t) -> [..., 6] twist (v, w)."""
+    w = so3_log(r)
+    v = (_left_jacobian_inv(w) @ t[..., None])[..., 0]
+    return jnp.concatenate([v, w], -1)
+
+
+def transform(r: jnp.ndarray, t: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Apply (R, t) to points [..., 3]."""
+    return (r @ p[..., None])[..., 0] + t
+
+
+def compose(ra, ta, rb, tb):
+    """(Ra, ta) ∘ (Rb, tb): apply b first, then a."""
+    return ra @ rb, (ra @ tb[..., None])[..., 0] + ta
+
+
+def inverse(r, t):
+    rt = jnp.swapaxes(r, -1, -2)
+    return rt, -(rt @ t[..., None])[..., 0]
+
+
+def retract(r, t, xi):
+    """Left-multiplicative retraction: exp(xi) ∘ (R, t)."""
+    dr, dt = se3_exp(xi)
+    return compose(dr, dt, r, t)

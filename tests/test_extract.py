@@ -1,0 +1,82 @@
+"""P2/P3 exit tests (SURVEY.md §7): keypoints + descriptors vs the cv2 oracle.
+
+Order-invariant envelope comparison per SURVEY.md §4.2: greedy bipartite
+match on (x, y, sigma), >= 70% mutual overlap on detectable scales,
+descriptor cosine median >= 0.9.
+"""
+
+import numpy as np
+import pytest
+
+from cusift_tpu.config import SiftConfig
+from cusift_tpu.models.sift import extract, extract_batch
+
+from oracle import cosine, cv2_sift_oracle, greedy_keypoint_match
+
+CFG = SiftConfig(max_kpts=1024, max_kpts_per_octave=512)
+
+
+@pytest.fixture(scope="module")
+def ours(test_image):
+    f = extract(test_image, CFG)
+    v = np.asarray(f.valid)
+    return {
+        "xy": np.stack([np.asarray(f.x)[v], np.asarray(f.y)[v]], -1),
+        "sigma": np.asarray(f.sigma)[v],
+        "angle": np.asarray(f.orientation)[v],
+        "desc": np.asarray(f.desc)[v],
+        "feats": f,
+    }
+
+
+@pytest.fixture(scope="module")
+def oracle_out(test_image):
+    xy, sig, ang, desc = cv2_sift_oracle(test_image)
+    m = sig >= 1.9  # scales detectable without the 2x upscale octave
+    return {"xy": xy[m], "sigma": sig[m], "angle": ang[m], "desc": desc[m]}
+
+
+def test_keypoint_overlap(ours, oracle_out):
+    pairs = greedy_keypoint_match(oracle_out["xy"], ours["xy"],
+                                  oracle_out["sigma"], ours["sigma"])
+    overlap = len(pairs) / max(len(oracle_out["xy"]), 1)
+    assert overlap >= 0.70, f"keypoint overlap {overlap:.2f}"
+
+
+def test_orientation_agreement(ours, oracle_out):
+    pairs = greedy_keypoint_match(oracle_out["xy"], ours["xy"],
+                                  oracle_out["sigma"], ours["sigma"])
+    i, j = np.array(pairs).T
+    d = np.abs(((oracle_out["angle"][i] - ours["angle"][j] + np.pi)
+                % (2 * np.pi)) - np.pi)
+    assert np.median(d) < 0.1, f"median orientation delta {np.median(d):.3f} rad"
+
+
+def test_descriptor_cosine(ours, oracle_out):
+    pairs = greedy_keypoint_match(oracle_out["xy"], ours["xy"],
+                                  oracle_out["sigma"], ours["sigma"])
+    i, j = np.array(pairs).T
+    cs = cosine(oracle_out["desc"][i], ours["desc"][j])
+    assert np.median(cs) >= 0.9, f"median descriptor cosine {np.median(cs):.3f}"
+    assert (cs > 0.8).mean() >= 0.7
+
+
+def test_descriptors_unit_norm(ours):
+    n = np.linalg.norm(ours["desc"], axis=-1)
+    np.testing.assert_allclose(n, 1.0, atol=1e-4)
+
+
+def test_invalid_slots_zeroed(ours):
+    f = ours["feats"]
+    v = np.asarray(f.valid)
+    assert np.all(np.asarray(f.desc)[~v] == 0.0)
+
+
+def test_batch_matches_single(test_image):
+    cfg = SiftConfig(max_kpts=256, max_kpts_per_octave=128, num_octaves=3)
+    single = extract(test_image, cfg)
+    batched = extract_batch(np.stack([test_image, test_image]), cfg)
+    np.testing.assert_allclose(np.asarray(batched.x[0]), np.asarray(single.x),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(batched.desc[1]),
+                               np.asarray(single.desc), rtol=1e-4, atol=1e-5)

@@ -1,0 +1,85 @@
+"""P8 exit tests (SURVEY.md §7): multi-device code on a fake 8-CPU mesh.
+
+Golden invariant: sharded results == single-device results, bit-for-bit up
+to float tolerance, for every mesh layout.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cusift_tpu.config import BAConfig, SiftConfig
+from cusift_tpu.data.synthetic import ba_problem, textured_image
+from cusift_tpu.models.sift import extract
+from cusift_tpu.optim.ba import BAProblem, bundle_adjust
+from cusift_tpu.parallel.dist_ba import (distributed_bundle_adjust,
+                                         gather_points, partition_by_landmark)
+from cusift_tpu.parallel.mesh import make_mesh, map_mesh
+from cusift_tpu.parallel.sharded import extract_frames, retrieval_scores
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+CFG = SiftConfig(max_kpts=256, max_kpts_per_octave=128, num_octaves=3)
+
+
+def test_mesh_shapes():
+    m = make_mesh()
+    assert m.devices.size == 8 and m.axis_names == ("frames", "map")
+    m2 = make_mesh(frames=4, map_=2)
+    assert m2.devices.shape == (4, 2)
+    m3 = map_mesh()
+    assert m3.devices.shape == (1, 8)
+
+
+def test_sharded_extract_matches_single():
+    imgs = np.stack([textured_image(120, 160, seed=s) for s in range(8)])
+    mesh = make_mesh(frames=8, map_=1)
+    feats = extract_frames(jnp.asarray(imgs), mesh, CFG)
+    ref = extract(imgs[3], CFG)
+    np.testing.assert_allclose(np.asarray(feats.x[3]), np.asarray(ref.x),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(feats.desc[3]), np.asarray(ref.desc),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_distributed_ba_matches_single():
+    prob, _ = ba_problem(seed=3, n_cams=6, n_pts=64, pixel_noise=0.25)
+    cfg = BAConfig(max_iters=8, cg_iters=30, num_fixed_poses=2)
+    single = bundle_adjust(BAProblem(**{k: jnp.asarray(v) for k, v in prob.items()}), cfg)
+
+    mesh = map_mesh(8)
+    parts = partition_by_landmark(prob, 8)
+    dist = distributed_bundle_adjust(parts, mesh, cfg)
+    np.testing.assert_allclose(float(dist.initial_cost), float(single.initial_cost),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dist.poses_t), np.asarray(single.poses_t),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dist.poses_r), np.asarray(single.poses_r),
+                               rtol=1e-3, atol=1e-4)
+    pts = gather_points(parts, dist.points)
+    np.testing.assert_allclose(pts, np.asarray(single.points), rtol=1e-3, atol=1e-3)
+
+
+def test_distributed_ba_various_shard_counts():
+    prob, _ = ba_problem(seed=7, n_cams=4, n_pts=30, pixel_noise=0.3)
+    cfg = BAConfig(max_iters=4, cg_iters=20, num_fixed_poses=2)
+    ref = bundle_adjust(BAProblem(**{k: jnp.asarray(v) for k, v in prob.items()}), cfg)
+    for n in (2, 4):
+        mesh = map_mesh(n)
+        parts = partition_by_landmark(prob, n)
+        dist = distributed_bundle_adjust(parts, mesh, cfg)
+        np.testing.assert_allclose(np.asarray(dist.poses_t), np.asarray(ref.poses_t),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_retrieval_scores():
+    rng = np.random.default_rng(0)
+    db = rng.normal(size=(6, 32, 128)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=-1, keepdims=True)
+    q = db[4].copy()  # query equals keyframe 4
+    mesh = make_mesh(frames=1, map_=8)
+    scores = retrieval_scores(jnp.asarray(q), jnp.ones(32, bool),
+                              jnp.asarray(db), jnp.ones((6, 32), bool), mesh)
+    assert int(np.argmax(np.asarray(scores))) == 4

@@ -1,0 +1,70 @@
+"""Pose-graph optimisation: loop closure fixes integrated odometry drift."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cusift_tpu.config import PoseGraphConfig
+from cusift_tpu.data.synthetic import pose_ring
+from cusift_tpu.optim.posegraph import PoseGraph, cost, optimize
+
+
+def _graph(d):
+    return PoseGraph(poses_r=jnp.asarray(d["init_r"]), poses_t=jnp.asarray(d["init_t"]),
+                     edge_i=jnp.asarray(d["edge_i"]), edge_j=jnp.asarray(d["edge_j"]),
+                     meas_r=jnp.asarray(d["meas_r"]), meas_t=jnp.asarray(d["meas_t"]),
+                     weight=jnp.asarray(d["weight"]))
+
+
+@pytest.fixture(scope="module")
+def ring():
+    return pose_ring(n=20, drift=0.02, seed=1)
+
+
+def test_cost_decreases(ring):
+    g = _graph(ring)
+    res = optimize(g, PoseGraphConfig(max_iters=15))
+    assert float(res.cost) < 0.1 * float(res.initial_cost)
+
+
+def test_drift_reduced(ring):
+    g = _graph(ring)
+    res = optimize(g, PoseGraphConfig(max_iters=20))
+
+    def traj_err(r, t):
+        # camera centres: c = -R^T t
+        c = -np.einsum("nij,nj->ni", np.swapaxes(np.asarray(r), 1, 2), np.asarray(t))
+        cg = -np.einsum("nij,nj->ni", np.swapaxes(ring["gt_r"], 1, 2), ring["gt_t"])
+        return np.linalg.norm(c - cg, axis=-1)
+
+    before = traj_err(ring["init_r"], ring["init_t"])
+    after = traj_err(res.poses_r, res.poses_t)
+    assert after.max() < 0.5 * before.max()
+    assert after.mean() < 0.1
+
+
+def test_zero_weight_edges_ignored(ring):
+    g = _graph(ring)
+    # add a bogus edge with zero weight: result unchanged
+    gi = g._replace(
+        edge_i=jnp.concatenate([g.edge_i, jnp.array([0], jnp.int32)]),
+        edge_j=jnp.concatenate([g.edge_j, jnp.array([10], jnp.int32)]),
+        meas_r=jnp.concatenate([g.meas_r, jnp.eye(3)[None]]),
+        meas_t=jnp.concatenate([g.meas_t, jnp.array([[9.0, 9.0, 9.0]])]),
+        weight=jnp.concatenate([g.weight, jnp.array([0.0])]),
+    )
+    ra = optimize(g, PoseGraphConfig(max_iters=8))
+    rb = optimize(gi, PoseGraphConfig(max_iters=8))
+    np.testing.assert_allclose(np.asarray(ra.poses_t), np.asarray(rb.poses_t), atol=1e-5)
+
+
+def test_perfect_graph_zero_cost(ring):
+    g = _graph(ring)._replace(poses_r=jnp.asarray(ring["gt_r"]),
+                              poses_t=jnp.asarray(ring["gt_t"]))
+    # replace measurements with exact relative transforms
+    gt_r, gt_t = ring["gt_r"], ring["gt_t"]
+    i, j = ring["edge_i"], ring["edge_j"]
+    rrel = np.einsum("eab,ecb->eac", gt_r[i], gt_r[j])  # R_i R_j^T
+    trel = gt_t[i] - np.einsum("eab,eb->ea", rrel, gt_t[j])
+    g = g._replace(meas_r=jnp.asarray(rrel), meas_t=jnp.asarray(trel))
+    assert float(cost(g)) < 1e-8

@@ -1,0 +1,50 @@
+"""P1 exit test (SURVEY.md §7): pyramid levels match cv2.GaussianBlur."""
+
+import cv2
+import numpy as np
+import jax
+import pytest
+
+from cusift_tpu.config import SiftConfig
+from cusift_tpu.ops.gaussian import blur, downsample2, upsample2
+from cusift_tpu.ops.pyramid import build_pyramid
+
+
+def test_blur_matches_cv2(test_image):
+    for sigma in (0.8, 1.6, 3.2):
+        ours = np.asarray(blur(test_image, sigma))
+        ref = cv2.GaussianBlur(test_image, (0, 0), sigma,
+                               borderType=cv2.BORDER_REFLECT_101)
+        assert np.max(np.abs(ours - ref)) < 2e-3, f"sigma={sigma}"
+
+
+def test_pyramid_shapes_and_blur(test_image):
+    cfg = SiftConfig()
+    octaves = jax.jit(lambda im: build_pyramid(im, cfg))(test_image)
+    assert len(octaves) == cfg.num_octaves_for(*test_image.shape)
+    h, w = test_image.shape
+    for o, oct_ in enumerate(octaves):
+        assert oct_.gauss.shape == (cfg.levels_per_octave, h >> o, w >> o)
+        assert oct_.dog.shape == (cfg.levels_per_octave - 1, h >> o, w >> o)
+
+    # level s of octave 0 == direct blur of level 0 with the absolute sigma
+    sig = cfg.sigmas()
+    for s in (1, 3, 5):
+        target = np.sqrt(sig[s] ** 2 - sig[0] ** 2)
+        ref = np.asarray(blur(octaves[0].gauss[0], float(target)))
+        got = np.asarray(octaves[0].gauss[s])
+        assert np.max(np.abs(got - ref)) < 2e-3, f"level {s}"
+
+
+def test_dog_is_difference(test_image):
+    cfg = SiftConfig(num_octaves=2)
+    octaves = jax.jit(lambda im: build_pyramid(im, cfg))(test_image)
+    g, d = np.asarray(octaves[0].gauss), np.asarray(octaves[0].dog)
+    np.testing.assert_allclose(d, g[1:] - g[:-1], atol=1e-6)
+
+
+def test_up_down_sample(test_image):
+    up = np.asarray(upsample2(test_image))
+    assert up.shape == (2 * test_image.shape[0], 2 * test_image.shape[1])
+    down = np.asarray(downsample2(test_image))
+    np.testing.assert_allclose(down, test_image[::2, ::2])

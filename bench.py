@@ -37,7 +37,7 @@ def main():
     from cusift_tpu.data.synthetic import textured_image, warped_pair
 
     h, w = args.size
-    img_a, img_b, _ = warped_pair(h, w, seed=1)
+    img_a, img_b, _ = warped_pair(h, w, seed=1, blobs=2500)
     sift_cfg = SiftConfig(max_kpts=args.max_kpts,
                           max_kpts_per_octave=args.max_kpts // 2)
     match_cfg = MatchConfig()

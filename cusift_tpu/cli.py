@@ -1,0 +1,167 @@
+"""Command-line tools (reference analog: the mainSift.cpp demo, SURVEY.md C16).
+
+    python -m cusift_tpu.cli demo [--image-a A --image-b B]
+    python -m cusift_tpu.cli slam [--tum DIR | --synthetic N] [--metrics out.jsonl]
+    python -m cusift_tpu.cli sfm  [--synthetic N]
+
+Runs on whatever backend JAX selects (TPU when available).  With no input
+paths, ground-truth synthetic scenes are used so every command works in a
+dataset-less environment.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _load_image(path: str) -> np.ndarray:
+    from .utils.image import to_gray_float
+    from .utils import native_loader
+    if path.endswith((".pgm", ".ppm", ".npy")) and native_loader.native_available():
+        return native_loader.decode(path)
+    import cv2
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise FileNotFoundError(path)
+    return to_gray_float(img)
+
+
+def cmd_demo(args):
+    import jax.numpy as jnp
+    from .config import MatchConfig, RansacConfig, SiftConfig
+    from .models.twoview import match_pair
+    from .data.synthetic import warped_pair
+
+    if args.image_a and args.image_b:
+        img_a = _load_image(args.image_a)
+        img_b = _load_image(args.image_b)
+    else:
+        print("no images given; using a synthetic ground-truth warped pair")
+        img_a, img_b, _ = warped_pair(480, 640, seed=1, blobs=1200)
+
+    t0 = time.time()
+    res = match_pair(jnp.asarray(img_a), jnp.asarray(img_b),
+                     SiftConfig(max_kpts=args.max_kpts,
+                                max_kpts_per_octave=args.max_kpts // 2),
+                     MatchConfig(), RansacConfig())
+    h = np.asarray(res.homography.h)
+    print(f"features A: {int(res.feats_a.count)}   B: {int(res.feats_b.count)}")
+    print(f"matches: {int(np.asarray(res.matches.ok).sum())}   "
+          f"inliers: {int(res.homography.num_inliers)}   "
+          f"({time.time() - t0:.1f}s incl. compile)")
+    print("homography:")
+    print(np.array2string(h, precision=4, suppress_small=True))
+
+
+def cmd_slam(args):
+    import jax
+    from .config import RansacConfig, SiftConfig, SlamConfig
+    from .models.slam import Slam
+    from .utils.logging import JsonlWriter
+    from .data import tum as tum_mod
+    from .data.evaluation import rpe
+    from .data.synthetic import planar_rgbd_sequence
+
+    writer = JsonlWriter(args.metrics) if args.metrics else None
+    if args.tum:
+        if not tum_mod.available(args.tum):
+            sys.exit(f"TUM sequence not found at {args.tum}")
+        intr = tum_mod.intrinsics_for(args.tum)
+        frames = tum_mod.load_tum(args.tum, max_frames=args.frames or None)
+        gt = None
+        seq = None
+    else:
+        n = args.synthetic or 12
+        seq = planar_rgbd_sequence(n_frames=n, h=480, w=640, seed=0,
+                                   motion_scale=0.8)
+        intr = seq.intr
+        frames = ((seq.images[i], seq.depths[i]) for i in range(n))
+
+    slam = Slam(intr,
+                sift_cfg=SiftConfig(max_kpts=args.max_kpts,
+                                    max_kpts_per_octave=args.max_kpts // 2),
+                ransac_cfg=RansacConfig(inlier_thresh_3d=0.03),
+                slam_cfg=SlamConfig(checkpoint_every=args.checkpoint_every))
+    t0 = time.time()
+    n_frames = 0
+    for item in frames:
+        img, depth = (item.image, item.depth) if hasattr(item, "image") else item
+        rec = slam.process_frame(img, depth)
+        n_frames += 1
+        if writer:
+            writer.write(rec)
+        if n_frames % 10 == 0:
+            print(f"frame {n_frames}: kpts={rec['kpts']} inliers={rec['inliers']} "
+                  f"kf={slam.state.n_kf} loops={slam.state.n_closures}")
+    dt = time.time() - t0
+    print(f"processed {n_frames} frames in {dt:.1f}s "
+          f"({n_frames / dt:.2f} frames/s incl. compile); "
+          f"{slam.state.n_kf} keyframes, {slam.state.n_closures} closures")
+    if seq is not None:
+        ate = slam.ate(seq.poses_r, seq.poses_t)
+        est_r, est_t = slam.trajectory()
+        t_rpe, r_rpe = rpe(est_r, est_t, seq.poses_r, seq.poses_t)
+        print(f"ATE RMSE {ate:.4f} m   RPE {t_rpe:.4f} m / {r_rpe:.4f} rad")
+    if args.save:
+        slam.checkpoint(args.save)
+        print(f"state saved to {args.save}")
+
+
+def cmd_sfm(args):
+    from .config import BAConfig, RansacConfig, SiftConfig
+    from .data.evaluation import ate_rmse
+    from .data.synthetic import planar_rgbd_sequence
+    from .models.sfm import reconstruct_rgbd
+
+    n = args.synthetic or 8
+    seq = planar_rgbd_sequence(n_frames=n, h=480, w=640, seed=0, motion_scale=0.6)
+    t0 = time.time()
+    rec = reconstruct_rgbd(seq.images, seq.depths, seq.intr,
+                           sift_cfg=SiftConfig(max_kpts=args.max_kpts,
+                                               max_kpts_per_octave=args.max_kpts // 2),
+                           ransac_cfg=RansacConfig(inlier_thresh_3d=0.03),
+                           ba_cfg=BAConfig(huber_delta=4.0, num_fixed_poses=2))
+    print(f"{rec.n_tracks} tracks, {rec.n_obs} observations "
+          f"({time.time() - t0:.1f}s incl. compile)")
+    print(f"BA cost {float(rec.ba.initial_cost):.1f} -> {float(rec.ba.cost):.1f} "
+          f"in {int(rec.ba.iterations)} accepted steps")
+    print(f"ATE RMSE vs ground truth: "
+          f"{ate_rmse(rec.poses_r, rec.poses_t, seq.poses_r, seq.poses_t):.4f} m")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="cusift_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("demo", help="two-view extract+match+homography")
+    d.add_argument("--image-a")
+    d.add_argument("--image-b")
+    d.add_argument("--max-kpts", type=int, default=2048)
+    d.set_defaults(fn=cmd_demo)
+
+    s = sub.add_parser("slam", help="RGB-D SLAM over a sequence")
+    s.add_argument("--tum", help="TUM sequence directory")
+    s.add_argument("--synthetic", type=int, help="use N synthetic frames")
+    s.add_argument("--frames", type=int, default=0)
+    s.add_argument("--max-kpts", type=int, default=1024)
+    s.add_argument("--metrics", help="JSONL metrics output path")
+    s.add_argument("--save", help="checkpoint output path")
+    s.add_argument("--checkpoint-every", type=int, default=0)
+    s.set_defaults(fn=cmd_slam)
+
+    f = sub.add_parser("sfm", help="small incremental SfM + BA")
+    f.add_argument("--synthetic", type=int)
+    f.add_argument("--max-kpts", type=int, default=1024)
+    f.set_defaults(fn=cmd_sfm)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

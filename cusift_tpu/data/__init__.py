@@ -1,1 +1,1 @@
-from . import synthetic  # noqa: F401
+from . import evaluation, kitti, synthetic, tum  # noqa: F401

@@ -37,10 +37,10 @@ def textured_image(h: int, w: int, seed: int = 0, blobs: int = 160) -> np.ndarra
     return img.astype(np.float32)
 
 
-def warped_pair(h: int = 480, w: int = 640, seed: int = 0):
+def warped_pair(h: int = 480, w: int = 640, seed: int = 0, blobs: int = 160):
     """(img_a, img_b, H_true) with img_b = warp(img_a, H_true)."""
     import cv2
-    img = textured_image(h, w, seed=seed)
+    img = textured_image(h, w, seed=seed, blobs=blobs)
     rs = np.random.default_rng(seed + 1)
     ang = rs.uniform(-0.15, 0.15)
     sc = rs.uniform(0.9, 1.1)

@@ -1,1 +1,1 @@
-from . import sift, twoview  # noqa: F401
+from . import sift, slam, sfm, twoview  # noqa: F401

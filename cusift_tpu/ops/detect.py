@@ -21,6 +21,7 @@ from jax import lax
 
 from ..config import SiftConfig
 from .keypoints import Keypoints, concat_keypoints, topk_keypoints
+from .mat3 import solve3
 from .pyramid import Octave
 
 
@@ -61,12 +62,9 @@ def _cube_derivs(cube: jnp.ndarray):
 
 
 def _solve3(H: jnp.ndarray, g: jnp.ndarray):
-    """offset = -H^-1 g via adjugate; returns (offset, ok)."""
-    det = jnp.linalg.det(H)
-    ok = jnp.abs(det) > 1e-12
-    adj = jnp.linalg.inv(jnp.where(ok, H, jnp.eye(3)))
-    off = -adj @ g
-    return jnp.where(ok, off, 0.0), ok
+    """offset = -H^-1 g via closed-form adjugate; returns (offset, ok)."""
+    off, ok = solve3(H, -g)
+    return off, ok
 
 
 def _refine_one(dog: jnp.ndarray, lvl, y, x, cfg: SiftConfig):

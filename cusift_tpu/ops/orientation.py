@@ -60,15 +60,15 @@ def orientation_histograms(gdx: jnp.ndarray, gdy: jnp.ndarray,
     wgt = wgt * (r2 <= cfg.ori_radius_factor ** 2)             # circular mask
     w = mag * wgt * inb1 * inb2 * kps.valid[:, None]           # [K, S]
 
-    # Soft 2-bin assignment, vectorised scatter-add.
+    # Soft 2-bin assignment as a one-hot contraction (TPU scatters
+    # serialise badly; a [K, S] x [K, S, nb] reduction stays on the VPU).
     fbin = (ang / (2.0 * jnp.pi) * nb) % nb                    # [K, S]
     b0 = jnp.floor(fbin).astype(jnp.int32) % nb
-    b1 = (b0 + 1) % nb
-    f = fbin - jnp.floor(fbin)
-    k_idx = jnp.broadcast_to(jnp.arange(w.shape[0])[:, None], w.shape)
-    hist = jnp.zeros((w.shape[0], nb), jnp.float32)
-    hist = hist.at[k_idx, b0].add(w * (1 - f))
-    hist = hist.at[k_idx, b1].add(w * f)
+    f = (fbin - jnp.floor(fbin))[..., None]
+    eye = jnp.eye(nb, dtype=w.dtype)
+    onehot = eye[b0] * (1 - f) + eye[(b0 + 1) % nb] * f        # [K, S, nb]
+    hist = jnp.einsum("ks,ksb->kb", w, onehot,
+                      preferred_element_type=jnp.float32)
     return _smooth_hist(hist)
 
 

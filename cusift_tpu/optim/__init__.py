@@ -1,1 +1,1 @@
-from . import lie  # noqa: F401
+from . import ba, lie, posegraph  # noqa: F401

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from ..config import BAConfig
 from ..ops.geometry import project
+from ..ops.mat3 import inv3
 from .lie import se3_exp, transform
 
 _seg = jax.ops.segment_sum
@@ -128,7 +129,7 @@ def build_blocks(p: BAProblem, damping, huber_delta: float,
     # LM damping; the small epsilon keeps unobserved blocks invertible.
     u = u + (damping + 1e-8) * jnp.eye(6)[None]
     v = v + (damping + 1e-8) * jnp.eye(3)[None]
-    v_inv = jnp.linalg.inv(v)
+    v_inv = inv3(v)
     return _Blocks(u=u, v_inv=v_inv, wo=wo, b_c=b_c, b_p=b_p)
 
 

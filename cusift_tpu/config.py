@@ -33,6 +33,8 @@ class SiftConfig:
     contrast_thresh: float = 0.04       # Lowe units (image in [0,1]); final cut is cT/S
     edge_thresh: float = 10.0           # Hessian ratio limit r: tr^2/det < (r+1)^2/r
     refine_iters: int = 3               # static quadratic-refinement steps
+    approx_topk: bool = True            # TPU-native approx_max_k for candidate
+                                        # compaction (recall ~0.95; exact on CPU)
     max_kpts_per_octave: int = 1024     # static per-octave candidate budget
     max_kpts: int = 2048                # static global keypoint capacity (pre-orientation)
     border: int = 5                     # reject detections within this margin
@@ -41,16 +43,20 @@ class SiftConfig:
     ori_bins: int = 36
     ori_sigma_factor: float = 1.5       # gaussian weight sigma = 1.5 * kp_sigma
     ori_radius_factor: float = 4.5      # sample window half-size = 4.5 * kp_sigma
-    ori_grid: int = 16                  # fixed sample grid (ori_grid^2 samples / kpt)
+    ori_grid: int = 12                  # fixed sample grid (ori_grid^2 samples / kpt)
     ori_peak_ratio: float = 0.8
     max_orientations: int = 2           # slots per keypoint (dominant + secondary)
 
     # Descriptor
     desc_width: int = 4                 # spatial cells per axis
     desc_bins: int = 8                  # orientation bins per cell
-    desc_grid: int = 16                 # fixed sample grid (desc_grid^2 samples / kpt)
+    desc_grid: int = 12                 # fixed sample grid (desc_grid^2 samples / kpt)
     desc_scale_factor: float = 3.0      # cell half-width = 3 * kp_sigma
     desc_clip: float = 0.2
+    # descriptor slots per octave = max_kpts_per_octave * desc_slot_factor;
+    # secondary orientations are rare (~10-25%), so sampling all
+    # max_orientations slots wastes gather bandwidth on dead lanes.
+    desc_slot_factor: float = 1.25
 
     dtype: str = "float32"
 
@@ -63,6 +69,12 @@ class SiftConfig:
     def total_kpts(self) -> int:
         """Descriptor-slot capacity: keypoints x orientation slots."""
         return self.max_kpts * self.max_orientations
+
+    @property
+    def desc_slots_per_octave(self) -> int:
+        """Compacted descriptor-slot capacity per octave (multiple of 8)."""
+        n = int(self.max_kpts_per_octave * self.desc_slot_factor)
+        return max(8, (n + 7) // 8 * 8)
 
     def sigmas(self) -> tuple:
         """Absolute blur per level within an octave (relative to octave base)."""

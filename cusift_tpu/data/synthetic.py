@@ -23,8 +23,13 @@ from ..optim.lie import se3_exp
 DEFAULT_INTR = np.array([517.3, 516.5, 318.6, 255.3], np.float32)
 
 
-def textured_image(h: int, w: int, seed: int = 0, blobs: int = 160) -> np.ndarray:
-    """Random multi-scale Gaussian-blob texture in [0, 1] (SIFT-friendly)."""
+def textured_image(h: int, w: int, seed: int = 0, blobs: int = 160,
+                   detail: float = 0.0) -> np.ndarray:
+    """Random multi-scale Gaussian-blob texture in [0, 1] (SIFT-friendly).
+
+    detail > 0 adds band-passed noise (corner-rich fine structure) so
+    benchmark images reach realistic keypoint densities (~1-2k at 480p).
+    """
     rs = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     img = 0.15 + 0.1 * (xx / w) + 0.1 * (yy / h)
@@ -33,14 +38,24 @@ def textured_image(h: int, w: int, seed: int = 0, blobs: int = 160) -> np.ndarra
         s = rs.uniform(2.0, 18.0)
         a = rs.uniform(-0.6, 0.8)
         img += a * np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s * s))
+    if detail > 0:
+        try:
+            import cv2
+            noise = rs.normal(size=(h, w)).astype(np.float32)
+            band = (cv2.GaussianBlur(noise, (0, 0), 1.2)
+                    - cv2.GaussianBlur(noise, (0, 0), 3.0))
+            img += detail * band / max(band.std(), 1e-6)
+        except ImportError:
+            pass
     img = (img - img.min()) / (img.max() - img.min())
     return img.astype(np.float32)
 
 
-def warped_pair(h: int = 480, w: int = 640, seed: int = 0, blobs: int = 160):
+def warped_pair(h: int = 480, w: int = 640, seed: int = 0, blobs: int = 160,
+                detail: float = 0.0):
     """(img_a, img_b, H_true) with img_b = warp(img_a, H_true)."""
     import cv2
-    img = textured_image(h, w, seed=seed, blobs=blobs)
+    img = textured_image(h, w, seed=seed, blobs=blobs, detail=detail)
     rs = np.random.default_rng(seed + 1)
     ang = rs.uniform(-0.15, 0.15)
     sc = rs.uniform(0.9, 1.1)

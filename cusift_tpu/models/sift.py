@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SiftConfig
-from ..ops.describe import descriptors
+from ..ops.describe import compact_slots, descriptors
 from ..ops.detect import detect_octave
 from ..ops.gaussian import image_gradients
 from ..ops.keypoints import Keypoints
@@ -47,14 +47,11 @@ class SiftFeatures(NamedTuple):
         return jnp.sum(self.valid.astype(jnp.int32))
 
 
-def _slots_from(kps: Keypoints, theta: jnp.ndarray, desc: jnp.ndarray,
-                slot_valid: jnp.ndarray, m: int) -> SiftFeatures:
-    rep = lambda a: jnp.repeat(a, m, axis=0)
+def _features_from(slots, desc: jnp.ndarray, slot_valid: jnp.ndarray) -> SiftFeatures:
     return SiftFeatures(
-        x=rep(kps.x), y=rep(kps.y), sigma=rep(kps.sigma),
-        orientation=theta.reshape(-1),
-        response=rep(kps.response), edgeness=rep(kps.edgeness),
-        octave=rep(kps.octave), desc=desc, valid=slot_valid,
+        x=slots.x, y=slots.y, sigma=slots.sigma, orientation=slots.theta,
+        response=slots.response, edgeness=slots.edgeness,
+        octave=slots.octave, desc=desc, valid=slot_valid,
     )
 
 
@@ -63,10 +60,21 @@ def _concat(parts: list[SiftFeatures]) -> SiftFeatures:
 
 
 def _topk(feats: SiftFeatures, n: int) -> SiftFeatures:
+    if feats.valid.shape[0] < n:  # pad up to the static output capacity
+        pad = n - feats.valid.shape[0]
+        feats = jax.tree.map(
+            lambda a: jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], 0), feats)
     score = jnp.where(feats.valid, jnp.abs(feats.response), -jnp.inf)
     _, idx = jax.lax.top_k(score, n)
     out = jax.tree.map(lambda a: a[idx], feats)
-    return out._replace(valid=out.valid & jnp.isfinite(score[idx]))
+    valid = out.valid & jnp.isfinite(score[idx])
+    # zero every field of dead lanes: invalid-slot content is tie-order
+    # dependent (top_k) and must never leak downstream
+    out = jax.tree.map(
+        lambda a: jnp.where(valid.reshape(valid.shape + (1,) * (a.ndim - 1)),
+                            a, jnp.zeros_like(a)), out)
+    return out._replace(valid=valid)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -76,15 +84,16 @@ def extract(img: jnp.ndarray, cfg: SiftConfig = SiftConfig()) -> SiftFeatures:
     Returns a SiftFeatures buffer of static capacity cfg.total_kpts.
     """
     octaves = build_pyramid(img, cfg)
-    m = cfg.max_orientations
     parts = []
     for oi, oct_ in enumerate(octaves):
         kps = detect_octave(oct_, oi, cfg)
         gdx, gdy = image_gradients(oct_.gauss)
-        hist = orientation_histograms(gdx, gdy, kps, cfg)
+        grad2 = jnp.stack([gdx, gdy], axis=-1)        # [L, H, W, 2]
+        hist = orientation_histograms(grad2, kps, cfg)
         theta, ok = dominant_orientations(hist, cfg)
-        desc, slot_valid = descriptors(gdx, gdy, kps, theta, ok, cfg)
-        parts.append(_slots_from(kps, theta, desc, slot_valid, m))
+        slots = compact_slots(kps, theta, ok, cfg.desc_slots_per_octave)
+        desc, slot_valid = descriptors(grad2, slots, cfg)
+        parts.append(_features_from(slots, desc, slot_valid))
     return _topk(_concat(parts), cfg.total_kpts)
 
 

@@ -56,6 +56,33 @@ def _track(desc_a, valid_a, pts_a, desc_b, valid_b, pts_b,
     return rig, m
 
 
+@partial(jax.jit, static_argnames=("sift_cfg", "match_cfg", "ransac_cfg"))
+def _frame_step(img, depth, intr, ref_desc, ref_valid, ref_pts,
+                sift_cfg: SiftConfig, match_cfg: MatchConfig,
+                ransac_cfg: RansacConfig, key):
+    """One SLAM tracking step as a single XLA program.
+
+    Bundles extract + match + rigid RANSAC + the keyframe-decision scalars
+    into ONE dispatch with ONE packed scalar result ([21] floats), because
+    every host fetch through the axon tunnel costs ~30 ms — the reference's
+    per-stage readbacks (SURVEY.md §3.1) would cost 3-4 fetches per frame.
+    """
+    f, pts, pvalid = _extract_with_points(img, depth, intr, sift_cfg)
+    m = match(f.desc, f.valid, ref_desc, ref_valid, match_cfg)
+    pb = ref_pts[m.idx]
+    ok = m.ok & pvalid & (pb[:, 2] > 1e-6)
+    rig = find_rigid(pts, pb, ok, ransac_cfg, key)
+    # rig: X_ref = R X_cur + t  =>  T_cur<-ref = (R, t)^-1
+    rel_r, rel_t = inverse(rig.r, rig.t)
+    xi = se3_log(rel_r, rel_t)
+    packed = jnp.concatenate([
+        jnp.array([rig.num_inliers, rig.ok, f.valid.sum(), m.ok.sum()],
+                  jnp.float32),
+        rel_r.reshape(-1), rel_t, xi,
+    ])                                                       # [4+9+3+6]
+    return f, pts, packed
+
+
 @jax.jit
 def _kf_scores(query_desc, query_valid, kf_desc, kf_valid, kf_active):
     """[MAXKF] similarity of a query frame to every stored keyframe.
@@ -151,16 +178,20 @@ class Slam:
     # ---------- main loop ----------
 
     def process_frame(self, img, depth) -> dict:
-        """Track one RGB-D frame; returns per-frame metrics."""
+        """Track one RGB-D frame; returns per-frame metrics.
+
+        One device dispatch + one 22-float fetch per frame (axon host
+        round-trips cost ~30 ms each; see _frame_step).
+        """
         s = self.state
         img = jnp.asarray(img)
         depth = jnp.asarray(depth)
-        feats, pts, pvalid = _extract_with_points(img, depth, self.intr,
-                                                  self.sift_cfg)
-        desc, valid = feats.desc, feats.valid
 
         if s.n_kf == 0:
-            i = self._add_keyframe(desc, valid, pts, jnp.eye(3), jnp.zeros(3))
+            feats, pts, _ = _extract_with_points(img, depth, self.intr,
+                                                 self.sift_cfg)
+            i = self._add_keyframe(feats.desc, feats.valid, pts,
+                                   jnp.eye(3), jnp.zeros(3))
             s.traj_ref.append(i)
             s.traj_rel_r.append(np.eye(3, dtype=np.float32))
             s.traj_rel_t.append(np.zeros(3, np.float32))
@@ -171,24 +202,29 @@ class Slam:
             return rec
 
         ref = s.n_kf - 1
-        rig, m = _track(desc, valid, pts, s.kf_desc[ref], s.kf_valid[ref],
-                        s.kf_pts[ref], self.match_cfg, self.ransac_cfg,
-                        self._next_key())
-        inl = int(rig.num_inliers)
-        tracked = bool(rig.ok) and inl >= self.cfg.track_min_inliers
+        feats, pts, packed = _frame_step(
+            img, depth, self.intr, s.kf_desc[ref], s.kf_valid[ref],
+            s.kf_pts[ref], self.sift_cfg, self.match_cfg, self.ransac_cfg,
+            self._next_key())
+        desc, valid = feats.desc, feats.valid
+        packed = np.asarray(packed)                      # the one fetch
+        inl = int(packed[0])
+        n_kpts = int(packed[2])
+        n_matches = int(packed[3])
+        rel_r = packed[4:13].reshape(3, 3)
+        rel_t = packed[13:16]
+        xi = packed[16:22]
+        tracked = bool(packed[1]) and inl >= self.cfg.track_min_inliers
 
-        if tracked:
-            # rig: X_ref = R X_cur + t  =>  T_cur<-ref = (R, t)^-1
-            rel_r, rel_t = inverse(rig.r, rig.t)
-        else:
+        if not tracked:
             # tracking lost: assume no motion relative to reference keyframe
-            rel_r, rel_t = (np.asarray(s.traj_rel_r[-1]),
-                            np.asarray(s.traj_rel_t[-1]))
-            rel_r, rel_t = jnp.asarray(rel_r), jnp.asarray(rel_t)
+            rel_r = np.asarray(s.traj_rel_r[-1])
+            rel_t = np.asarray(s.traj_rel_t[-1])
 
-        xi = np.asarray(se3_log(rel_r, rel_t))
         trans_mag = float(np.linalg.norm(xi[:3]))
         rot_mag = float(np.linalg.norm(xi[3:]))
+        rel_r = jnp.asarray(rel_r)
+        rel_t = jnp.asarray(rel_t)
         need_kf = tracked and (
             inl < self.cfg.kf_min_inliers
             or trans_mag > self.cfg.kf_max_translation
@@ -213,8 +249,8 @@ class Slam:
             s.traj_rel_t.append(np.asarray(rel_t))
         s.traj_ok.append(tracked)
 
-        rec = {"frame": len(s.traj_ref) - 1, "kpts": int(feats.count),
-               "matches": int(np.asarray(m.ok).sum()), "inliers": inl,
+        rec = {"frame": len(s.traj_ref) - 1, "kpts": n_kpts,
+               "matches": n_matches, "inliers": inl,
                "keyframe": bool(need_kf), "loop": bool(loop_found),
                "tracked": tracked}
         self.metrics.append(rec)

@@ -14,12 +14,56 @@ data-dependent; the descriptor reduces to one einsum
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..config import SiftConfig
 from .keypoints import Keypoints
-from .sampling import bilinear_sample
+from .sampling import bilinear_sample_pair
+
+
+class Slots(NamedTuple):
+    """Compacted (keypoint, orientation) slots of one octave, [N]-shaped.
+
+    The reference duplicates keypoints per extra orientation via atomic
+    append (SURVEY.md C9); here slots are compacted with top-k on validity
+    so descriptor sampling never wastes gather bandwidth on dead lanes.
+    """
+
+    x: jnp.ndarray
+    y: jnp.ndarray
+    sigma: jnp.ndarray
+    response: jnp.ndarray
+    edgeness: jnp.ndarray
+    octave: jnp.ndarray
+    level: jnp.ndarray
+    xo: jnp.ndarray
+    yo: jnp.ndarray
+    so: jnp.ndarray
+    theta: jnp.ndarray
+    valid: jnp.ndarray
+
+
+def compact_slots(kps: Keypoints, theta: jnp.ndarray, ok: jnp.ndarray,
+                  n_slots: int) -> Slots:
+    """Flatten [K, M] orientation slots and keep the n_slots best-valid."""
+    k, m = theta.shape
+    rep = lambda a: jnp.repeat(a, m, axis=0)
+    valid = (ok & kps.valid[:, None]).reshape(-1)
+    resp = rep(kps.response)
+    score = jnp.where(valid, 1.0 + jnp.abs(resp), 0.0)
+    _, idx = jax.lax.top_k(score, n_slots)
+    take = lambda a: a[idx]
+    return Slots(
+        x=take(rep(kps.x)), y=take(rep(kps.y)), sigma=take(rep(kps.sigma)),
+        response=take(resp), edgeness=take(rep(kps.edgeness)),
+        octave=take(rep(kps.octave)), level=take(rep(kps.level)),
+        xo=take(rep(kps.xo)), yo=take(rep(kps.yo)), so=take(rep(kps.so)),
+        theta=take(theta.reshape(-1)), valid=take(valid) & (take(score) > 0),
+    )
 
 
 def _spatial_weights(g: int, d: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -41,26 +85,20 @@ def _spatial_weights(g: int, d: int) -> tuple[np.ndarray, np.ndarray, np.ndarray
     return coords.astype(np.float32), w_spatial.astype(np.float32), gauss.astype(np.float32)
 
 
-def descriptors(gdx: jnp.ndarray, gdy: jnp.ndarray, kps: Keypoints,
-                theta: jnp.ndarray, ok: jnp.ndarray, cfg: SiftConfig):
-    """Descriptors for all (keypoint, orientation) slots of one octave.
+def descriptors(grad2: jnp.ndarray, slots: Slots, cfg: SiftConfig):
+    """Descriptors for compacted slots of one octave.
 
-    gdx, gdy: [L, H, W] Gaussian-stack gradients (octave-local).
-    theta, ok: [K, M] orientations and slot validity.
-    Returns (desc [K*M, 128], slot_valid [K*M]); slot m of keypoint k lands
-    at row k*M + m.
+    grad2: [L, H, W, 2] stacked (dx, dy) Gaussian-stack gradients.
+    Returns (desc [N, 128], slot_valid [N]).
     """
     g, d, nb = cfg.desc_grid, cfg.desc_width, cfg.desc_bins
-    k, m = theta.shape
     coords, w_spatial, gauss = map(jnp.asarray, _spatial_weights(g, d))
-    s = g * g
 
-    # Flatten (keypoint, orientation) slots.
-    th = theta.reshape(-1)                                     # [K*M]
-    slot_valid = (ok & kps.valid[:, None]).reshape(-1)
-    rep = lambda a: jnp.repeat(a, m, axis=0)
-    xo, yo, so = rep(kps.xo), rep(kps.yo), rep(kps.so)
-    lvl = jnp.clip(rep(kps.level), 0, gdx.shape[0] - 1)
+    th = slots.theta
+    slot_valid = slots.valid
+    xo, yo, so = slots.xo, slots.yo, slots.so
+    lvl = jnp.clip(slots.level, 0, grad2.shape[0] - 1)
+    n = th.shape[0]
 
     sigma_oct = cfg.sigma0 * 2.0 ** (so / cfg.scales_per_octave)
     cell_w = cfg.desc_scale_factor * sigma_oct                 # px per cell
@@ -71,28 +109,28 @@ def descriptors(gdx: jnp.ndarray, gdy: jnp.ndarray, kps: Keypoints,
     xs = xo[:, None] + u * ct[:, None] - v * st[:, None]
     ys = yo[:, None] + u * st[:, None] + v * ct[:, None]
 
-    dx, inb1 = bilinear_sample(gdx, lvl, ys, xs)
-    dy, inb2 = bilinear_sample(gdy, lvl, ys, xs)
+    dx, dy, inb = bilinear_sample_pair(grad2, lvl, ys, xs)
     mag = jnp.sqrt(dx * dx + dy * dy)
     # Gradient direction rotated into the keypoint frame.  Negated (theta -
     # grad) to match the classic descriptor's y-up angle convention (image
     # rows grow downward here); validated against the cv2 oracle in
     # tests/test_describe.py.
     ang = th[:, None] - jnp.arctan2(dy, dx)
-    w = mag * gauss[None, :] * inb1 * inb2                     # [KM, S]
+    w = mag * gauss[None, :] * inb                             # [KM, S]
 
-    # Soft orientation binning -> [KM, S, nb] (2 non-zeros per sample).
+    # Soft orientation binning as broadcast circular-distance weights
+    # (2 non-zeros per sample; no eye[...] gathers).
     fbin = (ang / (2.0 * jnp.pi) * nb) % nb
-    b0 = jnp.floor(fbin).astype(jnp.int32) % nb
-    f = (fbin - jnp.floor(fbin))[..., None]
-    eye = jnp.eye(nb, dtype=w.dtype)
-    obin = eye[b0] * (1 - f) + eye[(b0 + 1) % nb] * f          # [KM, S, nb]
+    bins = jnp.arange(nb, dtype=w.dtype)
+    dist = jnp.abs(fbin[..., None] - bins)                     # [N, S, nb]
+    dist = jnp.minimum(dist, nb - dist)
+    obin = jnp.maximum(0.0, 1.0 - dist)
     contrib = obin * w[..., None]
 
     # MXU contraction: spatial cells x orientation bins.
     desc = jnp.einsum("sc,ksb->kcb", w_spatial, contrib,
-                      preferred_element_type=jnp.float32)      # [KM, 16, 8]
-    desc = desc.reshape(k * m, d * d * nb)
+                      preferred_element_type=jnp.float32)      # [N, 16, 8]
+    desc = desc.reshape(n, d * d * nb)
 
     # normalise -> clip -> renormalise (Lowe)
     norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..config import SiftConfig
 from .keypoints import Keypoints
-from .sampling import bilinear_sample
+from .sampling import bilinear_sample_pair
 
 
 def _grid_offsets(g: int) -> np.ndarray:
@@ -34,11 +34,12 @@ def _smooth_hist(h: jnp.ndarray) -> jnp.ndarray:
     return (6.0 * h + 4.0 * r + r2) / 16.0
 
 
-def orientation_histograms(gdx: jnp.ndarray, gdy: jnp.ndarray,
+def orientation_histograms(grad2: jnp.ndarray,
                            kps: Keypoints, cfg: SiftConfig) -> jnp.ndarray:
     """[K, ori_bins] gradient-direction histograms (octave-local sampling).
 
-    gdx, gdy: [L, H, W] gradients of the Gaussian stack of this octave.
+    grad2: [L, H, W, 2] stacked (dx, dy) gradients of this octave's
+    Gaussian stack (one fused gather fetches both channels).
     """
     g = cfg.ori_grid
     nb = cfg.ori_bins
@@ -47,10 +48,9 @@ def orientation_histograms(gdx: jnp.ndarray, gdy: jnp.ndarray,
     radius = cfg.ori_radius_factor * sigma_oct                 # [K]
     ys = kps.yo[:, None] + radius[:, None] * offs[None, :, 0]  # [K, S]
     xs = kps.xo[:, None] + radius[:, None] * offs[None, :, 1]
-    lvl = jnp.clip(kps.level, 0, gdx.shape[0] - 1)
+    lvl = jnp.clip(kps.level, 0, grad2.shape[0] - 1)
 
-    dx, inb1 = bilinear_sample(gdx, lvl, ys, xs)
-    dy, inb2 = bilinear_sample(gdy, lvl, ys, xs)
+    dx, dy, inb = bilinear_sample_pair(grad2, lvl, ys, xs)
     mag = jnp.sqrt(dx * dx + dy * dy)
     ang = jnp.arctan2(dy, dx)                                  # [-pi, pi]
 
@@ -58,15 +58,16 @@ def orientation_histograms(gdx: jnp.ndarray, gdy: jnp.ndarray,
     r2 = (offs[None, :, 0] ** 2 + offs[None, :, 1] ** 2) * (cfg.ori_radius_factor ** 2)
     wgt = jnp.exp(-r2 / (2.0 * cfg.ori_sigma_factor ** 2))
     wgt = wgt * (r2 <= cfg.ori_radius_factor ** 2)             # circular mask
-    w = mag * wgt * inb1 * inb2 * kps.valid[:, None]           # [K, S]
+    w = mag * wgt * inb * kps.valid[:, None]                   # [K, S]
 
-    # Soft 2-bin assignment as a one-hot contraction (TPU scatters
-    # serialise badly; a [K, S] x [K, S, nb] reduction stays on the VPU).
+    # Soft 2-bin assignment as a broadcast contraction: the linear-interp
+    # weight of sample s toward bin b is max(0, 1 - circ_dist(fbin, b)) —
+    # pure VPU math, no scatters and no eye[...] gathers.
     fbin = (ang / (2.0 * jnp.pi) * nb) % nb                    # [K, S]
-    b0 = jnp.floor(fbin).astype(jnp.int32) % nb
-    f = (fbin - jnp.floor(fbin))[..., None]
-    eye = jnp.eye(nb, dtype=w.dtype)
-    onehot = eye[b0] * (1 - f) + eye[(b0 + 1) % nb] * f        # [K, S, nb]
+    bins = jnp.arange(nb, dtype=w.dtype)
+    dist = jnp.abs(fbin[..., None] - bins)                     # [K, S, nb]
+    dist = jnp.minimum(dist, nb - dist)                        # circular
+    onehot = jnp.maximum(0.0, 1.0 - dist)
     hist = jnp.einsum("ks,ksb->kb", w, onehot,
                       preferred_element_type=jnp.float32)
     return _smooth_hist(hist)

@@ -9,8 +9,10 @@ Reference analog: the hand-rolled per-thread linear algebra in
 from __future__ import annotations
 
 import jax.numpy as jnp
+from cusift_tpu.utils.precision import f32_matmuls
 
 
+@f32_matmuls
 def apply_homography(h: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     """Map [N, 2] points through a [3, 3] homography."""
     p = jnp.concatenate([pts, jnp.ones_like(pts[:, :1])], -1)
@@ -18,6 +20,7 @@ def apply_homography(h: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     return q[:, :2] / jnp.where(jnp.abs(q[:, 2:]) > 1e-12, q[:, 2:], 1e-12)
 
 
+@f32_matmuls
 def normalise_points(pts: jnp.ndarray, w: jnp.ndarray):
     """Hartley normalisation: zero-mean, mean length sqrt(2); weighted.
 
@@ -32,6 +35,7 @@ def normalise_points(pts: jnp.ndarray, w: jnp.ndarray):
     return (pts - c) * s, t
 
 
+@f32_matmuls
 def homography_rows(pa: jnp.ndarray, pb: jnp.ndarray):
     """DLT rows with h33 := 1: A [2N, 8], b [2N] such that A h8 = b."""
     n = pa.shape[0]
@@ -46,6 +50,7 @@ def homography_rows(pa: jnp.ndarray, pb: jnp.ndarray):
     return a, b
 
 
+@f32_matmuls
 def solve_homography(pa: jnp.ndarray, pb: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Weighted least-squares homography (h33=1 gauge) with normalisation.
 
@@ -63,6 +68,7 @@ def solve_homography(pa: jnp.ndarray, pb: jnp.ndarray, w: jnp.ndarray) -> jnp.nd
     return h / jnp.where(jnp.abs(h[2, 2]) > 1e-12, h[2, 2], 1e-12)
 
 
+@f32_matmuls
 def procrustes(pa: jnp.ndarray, pb: jnp.ndarray, w: jnp.ndarray):
     """Weighted rigid fit R, t with R @ pa + t ≈ pb (Kabsch/Umeyama, no scale).
 
@@ -80,6 +86,7 @@ def procrustes(pa: jnp.ndarray, pb: jnp.ndarray, w: jnp.ndarray):
     return r, t
 
 
+@f32_matmuls
 def backproject(uv: jnp.ndarray, depth: jnp.ndarray, fx, fy, cx, cy) -> jnp.ndarray:
     """[N, 2] pixels + [N] depths -> [N, 3] camera-frame points."""
     x = (uv[:, 0] - cx) / fx * depth
@@ -87,6 +94,7 @@ def backproject(uv: jnp.ndarray, depth: jnp.ndarray, fx, fy, cx, cy) -> jnp.ndar
     return jnp.stack([x, y, depth], -1)
 
 
+@f32_matmuls
 def project(pts: jnp.ndarray, fx, fy, cx, cy) -> jnp.ndarray:
     """[N, 3] camera-frame points -> [N, 2] pixels (no distortion)."""
     z = jnp.where(jnp.abs(pts[:, 2]) > 1e-9, pts[:, 2], 1e-9)

@@ -10,6 +10,7 @@ and the landmark-block inverses in BA (optim/ba.py).
 from __future__ import annotations
 
 import jax.numpy as jnp
+from cusift_tpu.utils.precision import f32_matmuls
 
 
 def det3(m: jnp.ndarray) -> jnp.ndarray:
@@ -37,6 +38,7 @@ def adjugate3(m: jnp.ndarray) -> jnp.ndarray:
     ], -2)
 
 
+@f32_matmuls
 def inv3(m: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     """Inverse of [..., 3, 3]; singular inputs return adj/eps-guarded det."""
     d = det3(m)[..., None, None]
@@ -44,6 +46,7 @@ def inv3(m: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     return adjugate3(m) / d
 
 
+@f32_matmuls
 def solve3(m: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-12):
     """Solve m x = b for [..., 3, 3] x [..., 3]; returns (x, ok)."""
     d = det3(m)

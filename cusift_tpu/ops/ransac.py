@@ -17,6 +17,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from cusift_tpu.utils.precision import f32_matmuls
 
 from ..config import RansacConfig
 from .geometry import apply_homography, procrustes, solve_homography
@@ -49,6 +50,7 @@ def _onehot_weights(idx: jnp.ndarray, n: int) -> jnp.ndarray:
     return jnp.zeros(n).at[idx].add(1.0)
 
 
+@f32_matmuls
 @partial(jax.jit, static_argnames=("cfg",))
 def find_homography(pa: jnp.ndarray, pb: jnp.ndarray, valid: jnp.ndarray,
                     cfg: RansacConfig = RansacConfig(),
@@ -91,6 +93,7 @@ def find_homography(pa: jnp.ndarray, pb: jnp.ndarray, valid: jnp.ndarray,
     return HomographyResult(h=h, inliers=inliers, num_inliers=num, ok=ok)
 
 
+@f32_matmuls
 @partial(jax.jit, static_argnames=("cfg",))
 def find_rigid(pa: jnp.ndarray, pb: jnp.ndarray, valid: jnp.ndarray,
                cfg: RansacConfig = RansacConfig(),

@@ -25,6 +25,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from cusift_tpu.utils.precision import f32_matmuls
 
 from ..config import BAConfig
 from ..ops.geometry import project
@@ -89,6 +90,7 @@ def _robust_weights(res: jnp.ndarray, w: jnp.ndarray, delta: float):
     return w * jnp.minimum(1.0, delta / jnp.maximum(nrm, 1e-12))
 
 
+@f32_matmuls
 def cost(p: BAProblem, huber_delta: float = 0.0, axis_name=None) -> jnp.ndarray:
     res, _, _ = _residuals_and_jacobians(p)
     sq = jnp.sum(res ** 2, -1)
@@ -110,6 +112,7 @@ class _Blocks(NamedTuple):
     b_p: jnp.ndarray    # [L, 3]
 
 
+@f32_matmuls
 def build_blocks(p: BAProblem, damping, huber_delta: float,
                  res=None, jc=None, jp=None) -> _Blocks:
     """Gauss-Newton blocks with LM damping folded into U and V."""
@@ -133,6 +136,7 @@ def build_blocks(p: BAProblem, damping, huber_delta: float,
     return _Blocks(u=u, v_inv=v_inv, wo=wo, b_c=b_c, b_p=b_p)
 
 
+@f32_matmuls
 def schur_matvec(blocks: _Blocks, cam_idx, pt_idx, x, cam_mask, axis_name=None):
     """(S x) for camera-delta x [C, 6]; cam_mask [C] fixes gauge poses.
 
@@ -154,6 +158,7 @@ def schur_matvec(blocks: _Blocks, cam_idx, pt_idx, x, cam_mask, axis_name=None):
     return sx * cam_mask[:, None]
 
 
+@f32_matmuls
 def reduced_rhs(blocks: _Blocks, cam_idx, pt_idx, cam_mask, axis_name=None):
     """b~_c = b_c - W V^-1 b_p (the Schur-reduced right-hand side)."""
     y = (blocks.v_inv @ blocks.b_p[..., None])[..., 0]           # [L, 3]
@@ -193,6 +198,7 @@ def pcg(matvec, b, precond, iters: int, tol: float):
     return x
 
 
+@f32_matmuls
 def solve_normal_equations(p: BAProblem, damping, cfg: BAConfig, axis_name=None):
     """One damped GN step: returns (delta_c [C,6], delta_p [L,3]).
 
@@ -227,6 +233,7 @@ def solve_normal_equations(p: BAProblem, damping, cfg: BAConfig, axis_name=None)
     return dc, dp
 
 
+@f32_matmuls
 def apply_step(p: BAProblem, dc, dp) -> BAProblem:
     dr, dt = se3_exp(dc)                                  # [C,3,3],[C,3]
     r2 = dr @ p.poses_r
@@ -234,6 +241,7 @@ def apply_step(p: BAProblem, dc, dp) -> BAProblem:
     return p._replace(poses_r=r2, poses_t=t2, points=p.points + dp)
 
 
+@f32_matmuls
 def lm_loop(p: BAProblem, cfg: BAConfig, axis_name=None) -> BAResult:
     """Full LM loop (static iteration count, accept/reject inside).
 
@@ -261,6 +269,7 @@ def lm_loop(p: BAProblem, cfg: BAConfig, axis_name=None) -> BAResult:
                     cost=cf, initial_cost=c0, iterations=its)
 
 
+@f32_matmuls
 @partial(jax.jit, static_argnames=("cfg",))
 def bundle_adjust(p: BAProblem, cfg: BAConfig = BAConfig()) -> BAResult:
     """Single-device bundle adjustment (jitted LM loop)."""

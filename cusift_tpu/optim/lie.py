@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from cusift_tpu.utils.precision import f32_matmuls
+
 _EPS = 1e-8
 
 
@@ -45,6 +47,7 @@ def _cosc(x):
     return jnp.where(small, 0.5 - x * x / 24.0, (1.0 - jnp.cos(xs)) / (xs * xs))
 
 
+@f32_matmuls
 def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
     """[..., 3] axis-angle -> [..., 3, 3] rotation (Rodrigues)."""
     th = _safe_norm(w)  # [..., 1, 1]
@@ -54,6 +57,7 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
     return eye + _sinc(th) * k + _cosc(th) * k2
 
 
+@f32_matmuls
 def so3_log(r: jnp.ndarray) -> jnp.ndarray:
     """[..., 3, 3] rotation -> [..., 3] axis-angle (theta < pi - eps).
 
@@ -72,6 +76,7 @@ def so3_log(r: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * v / jnp.maximum(_sinc(th), _EPS)
 
 
+@f32_matmuls
 def _left_jacobian(w: jnp.ndarray) -> jnp.ndarray:
     """SO(3) left Jacobian V: se3_exp translation factor."""
     th = _safe_norm(w)
@@ -85,6 +90,7 @@ def _left_jacobian(w: jnp.ndarray) -> jnp.ndarray:
     return eye + a * k + b * k2
 
 
+@f32_matmuls
 def _left_jacobian_inv(w: jnp.ndarray) -> jnp.ndarray:
     th = _safe_norm(w)
     k = hat(w)
@@ -97,6 +103,7 @@ def _left_jacobian_inv(w: jnp.ndarray) -> jnp.ndarray:
     return eye - 0.5 * k + cot * k2
 
 
+@f32_matmuls
 def se3_exp(xi: jnp.ndarray):
     """[..., 6] twist (v, w) -> (R [..., 3, 3], t [..., 3])."""
     v, w = xi[..., :3], xi[..., 3:]
@@ -105,6 +112,7 @@ def se3_exp(xi: jnp.ndarray):
     return r, t
 
 
+@f32_matmuls
 def se3_log(r: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """(R, t) -> [..., 6] twist (v, w)."""
     w = so3_log(r)
@@ -112,21 +120,25 @@ def se3_log(r: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([v, w], -1)
 
 
+@f32_matmuls
 def transform(r: jnp.ndarray, t: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
     """Apply (R, t) to points [..., 3]."""
     return (r @ p[..., None])[..., 0] + t
 
 
+@f32_matmuls
 def compose(ra, ta, rb, tb):
     """(Ra, ta) ∘ (Rb, tb): apply b first, then a."""
     return ra @ rb, (ra @ tb[..., None])[..., 0] + ta
 
 
+@f32_matmuls
 def inverse(r, t):
     rt = jnp.swapaxes(r, -1, -2)
     return rt, -(rt @ t[..., None])[..., 0]
 
 
+@f32_matmuls
 def retract(r, t, xi):
     """Left-multiplicative retraction: exp(xi) ∘ (R, t)."""
     dr, dt = se3_exp(xi)

@@ -21,6 +21,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from cusift_tpu.utils.precision import f32_matmuls
 
 from ..config import PoseGraphConfig
 from .lie import compose, inverse, se3_exp, se3_log
@@ -61,6 +62,7 @@ def _residuals(xi: jnp.ndarray, g: PoseGraph) -> jnp.ndarray:
     return se3_log(rerr, terr) * g.weight[:, None]
 
 
+@f32_matmuls
 def cost(g: PoseGraph) -> jnp.ndarray:
     r = _residuals(jnp.zeros((g.poses_r.shape[0], 6)), g)
     return 0.5 * jnp.sum(r ** 2)
@@ -89,6 +91,7 @@ def _cg(matvec, b, iters: int, tol: float):
     return x
 
 
+@f32_matmuls
 @partial(jax.jit, static_argnames=("cfg",))
 def optimize(g: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig()) -> PoseGraphResult:
     """LM on the pose graph; gauge fixed by freezing pose 0 (optional)."""

@@ -16,6 +16,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from cusift_tpu.utils.precision import f32_matmuls
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
@@ -69,6 +70,7 @@ def partition_by_landmark(problem: dict, n_shards: int) -> dict:
     return out
 
 
+@f32_matmuls
 def distributed_bundle_adjust(parts: dict, mesh: Mesh,
                               cfg: BAConfig = BAConfig()) -> BAResult:
     """Run LM bundle adjustment over landmark shards on the "map" axis.

@@ -7,11 +7,25 @@ unmodified.  Must be set before jax initialises its backends, hence here.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the CPU backend.  The axon sitecustomize pre-sets
+# JAX_PLATFORMS=axon in every interpreter AND calls axon.register() at
+# interpreter start, which pins the platform in jax's config — so neither
+# `os.environ.setdefault` nor even assigning the env var here is enough:
+# the whole suite would silently route through the single-chip TPU tunnel
+# (10x slower, and bf16-matmul tolerances differ).  `jax.config.update`
+# after import is the only override that sticks.  XLA_FLAGS must still be
+# set before the first backend init for the 8 virtual devices to appear.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert jax.device_count() == 8, jax.devices()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

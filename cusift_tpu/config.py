@@ -35,7 +35,11 @@ class SiftConfig:
     refine_iters: int = 3               # static quadratic-refinement steps
     approx_topk: bool = True            # TPU-native approx_max_k for candidate
                                         # compaction (recall ~0.95; exact on CPU)
-    max_kpts_per_octave: int = 1024     # static per-octave candidate budget
+    max_kpts_per_octave: int = 1024     # static candidate budget for octave 0
+    # Octave o has 4^o fewer pixels, so a flat per-octave budget wastes most
+    # of its gather/sample lanes on dead slots from octave 1 up.  The budget
+    # halves per octave (floored at 32) when decay is enabled.
+    octave_budget_decay: bool = True
     max_kpts: int = 2048                # static global keypoint capacity (pre-orientation)
     border: int = 5                     # reject detections within this margin
 
@@ -70,11 +74,23 @@ class SiftConfig:
         """Descriptor-slot capacity: keypoints x orientation slots."""
         return self.max_kpts * self.max_orientations
 
+    def kpt_budget(self, octave: int) -> int:
+        """Static candidate budget of one octave (multiple of 8)."""
+        n = self.max_kpts_per_octave
+        if self.octave_budget_decay:
+            n = max(min(32, n), n >> octave)
+        return max(8, (n + 7) // 8 * 8)
+
+    def desc_slots(self, octave: int) -> int:
+        """Compacted descriptor-slot capacity of one octave (multiple of 8)."""
+        n = int(self.kpt_budget(octave) * self.desc_slot_factor)
+        return max(8, (n + 7) // 8 * 8)
+
     @property
     def desc_slots_per_octave(self) -> int:
-        """Compacted descriptor-slot capacity per octave (multiple of 8)."""
-        n = int(self.max_kpts_per_octave * self.desc_slot_factor)
-        return max(8, (n + 7) // 8 * 8)
+        """Octave-0 descriptor-slot capacity (kept for callers that size
+        buffers for the worst octave)."""
+        return self.desc_slots(0)
 
     def sigmas(self) -> tuple:
         """Absolute blur per level within an octave (relative to octave base)."""

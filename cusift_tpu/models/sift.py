@@ -91,7 +91,7 @@ def extract(img: jnp.ndarray, cfg: SiftConfig = SiftConfig()) -> SiftFeatures:
         grad2 = jnp.stack([gdx, gdy], axis=-1)        # [L, H, W, 2]
         hist = orientation_histograms(grad2, kps, cfg)
         theta, ok = dominant_orientations(hist, cfg)
-        slots = compact_slots(kps, theta, ok, cfg.desc_slots_per_octave)
+        slots = compact_slots(kps, theta, ok, cfg.desc_slots(oi))
         desc, slot_valid = descriptors(grad2, slots, cfg)
         parts.append(_features_from(slots, desc, slot_valid))
     return _topk(_concat(parts), cfg.total_kpts)

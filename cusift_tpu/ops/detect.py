@@ -8,9 +8,10 @@ quadratic refinement, atomic append.  TPU design (SURVEY.md §2.2, §7):
   [S+2, H, W] DoG stack — dense, VPU-friendly, no divergence;
 * candidates are compacted with `top_k` on |DoG| into a static
   per-octave budget (no atomics, no host sync);
-* quadratic refinement runs only on the compacted candidates as a
-  vmapped, statically-unrolled iteration of 3x3x3 gathers — the cheap
-  narrow phase after the dense wide phase.
+* quadratic refinement runs only on the compacted candidates: all ten
+  fit derivatives are precomputed densely in one VPU pass, so each
+  refinement iteration is a single batched [K, 10] channel gather plus a
+  closed-form 3x3 solve — no per-candidate cube slicing.
 """
 
 from __future__ import annotations
@@ -49,73 +50,94 @@ def _extrema_mask(dog: jnp.ndarray, prefilter: float) -> jnp.ndarray:
     return jnp.pad(mask, ((0, 0), (1, 1), (1, 1)))  # [S, H, W]
 
 
-def _cube_derivs(cube: jnp.ndarray):
-    """Gradient and Hessian of a 3x3x3 DoG neighbourhood (s, y, x order)."""
-    c = cube
-    v = c[1, 1, 1]
-    dx = 0.5 * (c[1, 1, 2] - c[1, 1, 0])
-    dy = 0.5 * (c[1, 2, 1] - c[1, 0, 1])
-    ds = 0.5 * (c[2, 1, 1] - c[0, 1, 1])
-    dxx = c[1, 1, 2] - 2 * v + c[1, 1, 0]
-    dyy = c[1, 2, 1] - 2 * v + c[1, 0, 1]
-    dss = c[2, 1, 1] - 2 * v + c[0, 1, 1]
-    dxy = 0.25 * (c[1, 2, 2] - c[1, 2, 0] - c[1, 0, 2] + c[1, 0, 0])
-    dxs = 0.25 * (c[2, 1, 2] - c[2, 1, 0] - c[0, 1, 2] + c[0, 1, 0])
-    dys = 0.25 * (c[2, 2, 1] - c[2, 0, 1] - c[0, 2, 1] + c[0, 0, 1])
-    g = jnp.stack([dx, dy, ds])
-    H = jnp.array([[dxx, dxy, dxs],
-                   [dxy, dyy, dys],
-                   [dxs, dys, dss]])
-    return v, g, H
+def _dense_derivs(dog: jnp.ndarray) -> jnp.ndarray:
+    """All quadratic-fit derivatives of the DoG stack, densely: [S+2,H,W,10].
+
+    Channels: (v, dx, dy, ds, dxx, dyy, dss, dxy, dxs, dys).  One fused VPU
+    pass over the stack; refinement then needs only a [K, 10] channel gather
+    per iteration instead of a 3x3x3 ``dynamic_slice`` per candidate (the
+    vmapped-cube form cost ~25 ms/frame on v5e — 10x the rest of detection).
+    Shifts wrap at the borders, so border lanes hold garbage; candidates are
+    clipped to the interior before any gather, which never reads them.
+    """
+    c = dog
+    sh = lambda a, d, ax: jnp.roll(a, -d, ax)
+    xp, xm = sh(c, 1, 2), sh(c, -1, 2)
+    yp, ym = sh(c, 1, 1), sh(c, -1, 1)
+    sp, sm = sh(c, 1, 0), sh(c, -1, 0)
+    dx = 0.5 * (xp - xm)
+    dy = 0.5 * (yp - ym)
+    ds = 0.5 * (sp - sm)
+    dxx = xp - 2 * c + xm
+    dyy = yp - 2 * c + ym
+    dss = sp - 2 * c + sm
+    dxy = 0.25 * (sh(yp, 1, 2) - sh(yp, -1, 2) - sh(ym, 1, 2) + sh(ym, -1, 2))
+    dxs = 0.25 * (sh(sp, 1, 2) - sh(sp, -1, 2) - sh(sm, 1, 2) + sh(sm, -1, 2))
+    dys = 0.25 * (sh(sp, 1, 1) - sh(sp, -1, 1) - sh(sm, 1, 1) + sh(sm, -1, 1))
+    return jnp.stack([c, dx, dy, ds, dxx, dyy, dss, dxy, dxs, dys], -1)
 
 
-def _solve3(H: jnp.ndarray, g: jnp.ndarray):
-    """offset = -H^-1 g via closed-form adjugate; returns (offset, ok)."""
+def _gather_derivs(derivs: jnp.ndarray, lvl, y, x) -> jnp.ndarray:
+    """Fetch the 10 derivative channels at integer (lvl, y, x): [K, 10]."""
+    starts = jnp.stack([lvl, y, x], -1)
+    dn = lax.GatherDimensionNumbers(offset_dims=(1,),
+                                    collapsed_slice_dims=(0, 1, 2),
+                                    start_index_map=(0, 1, 2))
+    return lax.gather(derivs, starts, dn,
+                      slice_sizes=(1, 1, 1, derivs.shape[-1]),
+                      mode=lax.GatherScatterMode.CLIP)
+
+
+def _solve_at(derivs, lvl, y, x):
+    """Quadratic fit at integer locations: (v, g [K,3], H [K,3,3], off, ok)."""
+    d = _gather_derivs(derivs, lvl, y, x)
+    v = d[:, 0]
+    g = d[:, 1:4]
+    dxx, dyy, dss, dxy, dxs, dys = (d[:, 4], d[:, 5], d[:, 6],
+                                    d[:, 7], d[:, 8], d[:, 9])
+    row0 = jnp.stack([dxx, dxy, dxs], -1)
+    row1 = jnp.stack([dxy, dyy, dys], -1)
+    row2 = jnp.stack([dxs, dys, dss], -1)
+    H = jnp.stack([row0, row1, row2], -2)                      # [K, 3, 3]
     off, ok = solve3(H, -g)
-    return off, ok
+    return v, g, H, off, ok
 
 
-def _refine_one(dog: jnp.ndarray, lvl, y, x, cfg: SiftConfig):
-    """Iteratively refine one candidate; returns refined state + validity."""
-    s_levels, h, w = dog.shape  # s_levels = S + 2
-
-    def gather_cube(lvl, y, x):
-        return lax.dynamic_slice(dog, (lvl - 1, y - 1, x - 1), (3, 3, 3))
+def _refine_batch(derivs: jnp.ndarray, lvl, y, x, cfg: SiftConfig,
+                  shape: tuple):
+    """Iteratively refine all candidates at once; arrays are [K]-shaped."""
+    s_levels, h, w = shape
 
     def step(carry, _):
-        lvl, y, x, _, _, _, _ = carry
-        cube = gather_cube(lvl, y, x)
-        v, g, H = _cube_derivs(cube)
-        off, ok = _solve3(H, g)
+        lvl, y, x, _ = carry
+        _, _, _, off, ok = _solve_at(derivs, lvl, y, x)
         # move the integer location while the offset escapes the pixel
-        mx = jnp.round(off[0]).astype(jnp.int32)
-        my = jnp.round(off[1]).astype(jnp.int32)
-        ms = jnp.round(off[2]).astype(jnp.int32)
+        mx = jnp.round(off[:, 0]).astype(jnp.int32)
+        my = jnp.round(off[:, 1]).astype(jnp.int32)
+        ms = jnp.round(off[:, 2]).astype(jnp.int32)
         x2 = jnp.clip(x + mx, 1, w - 2)
         y2 = jnp.clip(y + my, 1, h - 2)
         l2 = jnp.clip(lvl + ms, 1, s_levels - 2)
-        return (l2, y2, x2, off, v, g, ok), None
+        return (l2, y2, x2, ok), None
 
-    init = (lvl, y, x, jnp.zeros(3), 0.0, jnp.zeros(3), True)
-    (lvl, y, x, off, v, g, ok), _ = lax.scan(step, init, None, length=cfg.refine_iters)
+    init = (lvl, y, x, jnp.ones_like(lvl, dtype=bool))
+    (lvl, y, x, ok), _ = lax.scan(step, init, None, length=cfg.refine_iters)
     # recompute at the final integer location for consistent derivatives
-    cube = gather_cube(lvl, y, x)
-    v, g, H = _cube_derivs(cube)
-    off, ok2 = _solve3(H, g)
-    contrast = v + 0.5 * jnp.dot(g, off)
+    v, g, H, off, ok2 = _solve_at(derivs, lvl, y, x)
+    contrast = v + 0.5 * jnp.sum(g * off, -1)
 
-    converged = jnp.all(jnp.abs(off) < 1.0) & ok & ok2
+    converged = jnp.all(jnp.abs(off) < 1.0, -1) & ok & ok2
     # 2x2 spatial-Hessian edge rejection
-    tr = H[0, 0] + H[1, 1]
-    det2 = H[0, 0] * H[1, 1] - H[0, 1] * H[0, 1]
+    tr = H[:, 0, 0] + H[:, 1, 1]
+    det2 = H[:, 0, 0] * H[:, 1, 1] - H[:, 0, 1] * H[:, 0, 1]
     r = cfg.edge_thresh
     edge_ok = (det2 > 0) & (tr * tr * r < (r + 1) ** 2 * det2)
     edgeness = jnp.where(det2 > 0, tr * tr / jnp.maximum(det2, 1e-12), jnp.inf)
 
     contrast_ok = jnp.abs(contrast) * cfg.scales_per_octave >= cfg.contrast_thresh
-    xo = x.astype(jnp.float32) + off[0]
-    yo = y.astype(jnp.float32) + off[1]
-    so = lvl.astype(jnp.float32) + off[2]
+    xo = x.astype(jnp.float32) + off[:, 0]
+    yo = y.astype(jnp.float32) + off[:, 1]
+    so = lvl.astype(jnp.float32) + off[:, 2]
     in_bounds = ((xo >= cfg.border) & (xo < w - cfg.border) &
                  (yo >= cfg.border) & (yo < h - cfg.border))
     valid = converged & edge_ok & contrast_ok & in_bounds
@@ -123,14 +145,14 @@ def _refine_one(dog: jnp.ndarray, lvl, y, x, cfg: SiftConfig):
 
 
 def detect_octave(oct_: Octave, octave_idx: int, cfg: SiftConfig) -> Keypoints:
-    """All keypoints of one octave, compacted to cfg.max_kpts_per_octave."""
+    """All keypoints of one octave, compacted to cfg.kpt_budget(octave)."""
     dog = oct_.dog  # [S+2, H, W]
     s, h, w = dog.shape
     prefilter = 0.5 * cfg.contrast_thresh / cfg.scales_per_octave
 
     mask = _extrema_mask(dog, prefilter)                       # [S, H, W]
     score = jnp.where(mask, jnp.abs(dog[1:-1]), -jnp.inf)
-    k = cfg.max_kpts_per_octave
+    k = cfg.kpt_budget(octave_idx)
     if cfg.approx_topk:
         # TPU-optimised partial reduction; exact top-k costs a full sort of
         # S*H*W scores per octave. 95% recall only perturbs which *weak*
@@ -148,9 +170,9 @@ def detect_octave(oct_: Octave, octave_idx: int, cfg: SiftConfig) -> Keypoints:
     y = jnp.clip(y, 1, h - 2)
     x = jnp.clip(x, 1, w - 2)
 
-    xo, yo, so, lvl_f, contrast, edgeness, valid = jax.vmap(
-        lambda l, yy, xx: _refine_one(dog, l, yy, xx, cfg)
-    )(lvl, y, x)
+    derivs = _dense_derivs(dog)
+    xo, yo, so, lvl_f, contrast, edgeness, valid = _refine_batch(
+        derivs, lvl, y, x, cfg, dog.shape)
     valid = valid & cand_valid
 
     # octave-local -> base-image coordinates

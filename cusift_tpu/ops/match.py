@@ -37,8 +37,12 @@ def match(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
     """Ratio-test matching of [N, 128] against [M, 128] unit descriptors."""
     sim = jnp.dot(desc_a, desc_b.T, preferred_element_type=jnp.float32)
     sim = jnp.where(valid_b[None, :], sim, -jnp.inf)           # mask dead cols
-    top2, idx2 = jax.lax.top_k(sim, 2)                          # [N, 2]
-    s1, s2 = top2[:, 0], top2[:, 1]
+    # best + second-best via two dense max passes: `lax.top_k` sorts each
+    # row (~10 ms at 4096x4096 on v5e); max/argmax are plain VPU reductions.
+    s1 = jnp.max(sim, axis=-1)
+    i1 = jnp.argmax(sim, axis=-1).astype(jnp.int32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+    s2 = jnp.max(jnp.where(cols == i1[:, None], -jnp.inf, sim), axis=-1)
     # unit vectors: d^2 = 2 - 2 * <a, b>
     d1 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * s1, 0.0))
     d2 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * s2, 1e-12))
@@ -48,6 +52,6 @@ def match(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
     if cfg.cross_check:
         sim_m = jnp.where(valid_a[:, None], sim, -jnp.inf)
         best_for_b = jnp.argmax(sim_m, axis=0)                  # [M]
-        ok = ok & (best_for_b[idx2[:, 0]] == jnp.arange(desc_a.shape[0]))
-    return Matches(idx=idx2[:, 0].astype(jnp.int32), dist=d1,
+        ok = ok & (best_for_b[i1] == jnp.arange(desc_a.shape[0]))
+    return Matches(idx=i1, dist=d1,
                    score=s1, ratio=ratio, ok=ok)

@@ -62,6 +62,10 @@ class SiftConfig:
     # max_orientations slots wastes gather bandwidth on dead lanes.
     desc_slot_factor: float = 1.25
 
+    # gradient patch sampler backend: "auto" (Pallas on TPU, XLA gather
+    # elsewhere), "pallas", or "xla"
+    sampler: str = "auto"
+
     dtype: str = "float32"
 
     @property
@@ -91,6 +95,12 @@ class SiftConfig:
         """Octave-0 descriptor-slot capacity (kept for callers that size
         buffers for the worst octave)."""
         return self.desc_slots(0)
+
+    @property
+    def sigma_oct_max(self) -> float:
+        """Largest octave-local sigma a refined keypoint can carry."""
+        s = self.scales_per_octave
+        return self.sigma0 * 2.0 ** ((s + 1) / s)
 
     def sigmas(self) -> tuple:
         """Absolute blur per level within an octave (relative to octave base)."""

@@ -87,12 +87,11 @@ def extract(img: jnp.ndarray, cfg: SiftConfig = SiftConfig()) -> SiftFeatures:
     parts = []
     for oi, oct_ in enumerate(octaves):
         kps = detect_octave(oct_, oi, cfg)
-        gdx, gdy = image_gradients(oct_.gauss)
-        grad2 = jnp.stack([gdx, gdy], axis=-1)        # [L, H, W, 2]
-        hist = orientation_histograms(grad2, kps, cfg)
+        gdx, gdy = image_gradients(oct_.gauss)        # [L, H, W] each
+        hist = orientation_histograms(gdx, gdy, kps, cfg)
         theta, ok = dominant_orientations(hist, cfg)
         slots = compact_slots(kps, theta, ok, cfg.desc_slots(oi))
-        desc, slot_valid = descriptors(grad2, slots, cfg)
+        desc, slot_valid = descriptors(gdx, gdy, slots, cfg)
         parts.append(_features_from(slots, desc, slot_valid))
     return _topk(_concat(parts), cfg.total_kpts)
 

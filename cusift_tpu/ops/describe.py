@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..config import SiftConfig
 from .keypoints import Keypoints
-from .sampling import bilinear_sample_pair
+from .sampling import sample_grad_pair
 
 
 class Slots(NamedTuple):
@@ -85,10 +85,11 @@ def _spatial_weights(g: int, d: int) -> tuple[np.ndarray, np.ndarray, np.ndarray
     return coords.astype(np.float32), w_spatial.astype(np.float32), gauss.astype(np.float32)
 
 
-def descriptors(grad2: jnp.ndarray, slots: Slots, cfg: SiftConfig):
+def descriptors(gdx: jnp.ndarray, gdy: jnp.ndarray, slots: Slots,
+                cfg: SiftConfig):
     """Descriptors for compacted slots of one octave.
 
-    grad2: [L, H, W, 2] stacked (dx, dy) Gaussian-stack gradients.
+    gdx, gdy: [L, H, W] Gaussian-stack gradient planes.
     Returns (desc [N, 128], slot_valid [N]).
     """
     g, d, nb = cfg.desc_grid, cfg.desc_width, cfg.desc_bins
@@ -97,7 +98,7 @@ def descriptors(grad2: jnp.ndarray, slots: Slots, cfg: SiftConfig):
     th = slots.theta
     slot_valid = slots.valid
     xo, yo, so = slots.xo, slots.yo, slots.so
-    lvl = jnp.clip(slots.level, 0, grad2.shape[0] - 1)
+    lvl = jnp.clip(slots.level, 0, gdx.shape[0] - 1)
     n = th.shape[0]
 
     sigma_oct = cfg.sigma0 * 2.0 ** (so / cfg.scales_per_octave)
@@ -109,7 +110,11 @@ def descriptors(grad2: jnp.ndarray, slots: Slots, cfg: SiftConfig):
     xs = xo[:, None] + u * ct[:, None] - v * st[:, None]
     ys = yo[:, None] + u * st[:, None] + v * ct[:, None]
 
-    dx, dy, inb = bilinear_sample_pair(grad2, lvl, ys, xs)
+    # rotated grid: worst-case row extent = d * cell_w * sqrt(2)
+    span = (cfg.desc_width * cfg.desc_scale_factor * cfg.sigma_oct_max
+            * 1.4143)
+    dx, dy, inb = sample_grad_pair(gdx, gdy, lvl, ys, xs,
+                                   span_rows=span, method=cfg.sampler)
     mag = jnp.sqrt(dx * dx + dy * dy)
     # Gradient direction rotated into the keypoint frame.  Negated (theta -
     # grad) to match the classic descriptor's y-up angle convention (image

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..config import SiftConfig
 from .keypoints import Keypoints
-from .sampling import bilinear_sample_pair
+from .sampling import sample_grad_pair
 
 
 def _grid_offsets(g: int) -> np.ndarray:
@@ -34,12 +34,11 @@ def _smooth_hist(h: jnp.ndarray) -> jnp.ndarray:
     return (6.0 * h + 4.0 * r + r2) / 16.0
 
 
-def orientation_histograms(grad2: jnp.ndarray,
+def orientation_histograms(gdx: jnp.ndarray, gdy: jnp.ndarray,
                            kps: Keypoints, cfg: SiftConfig) -> jnp.ndarray:
     """[K, ori_bins] gradient-direction histograms (octave-local sampling).
 
-    grad2: [L, H, W, 2] stacked (dx, dy) gradients of this octave's
-    Gaussian stack (one fused gather fetches both channels).
+    gdx, gdy: [L, H, W] gradient planes of this octave's Gaussian stack.
     """
     g = cfg.ori_grid
     nb = cfg.ori_bins
@@ -48,9 +47,11 @@ def orientation_histograms(grad2: jnp.ndarray,
     radius = cfg.ori_radius_factor * sigma_oct                 # [K]
     ys = kps.yo[:, None] + radius[:, None] * offs[None, :, 0]  # [K, S]
     xs = kps.xo[:, None] + radius[:, None] * offs[None, :, 1]
-    lvl = jnp.clip(kps.level, 0, grad2.shape[0] - 1)
+    lvl = jnp.clip(kps.level, 0, gdx.shape[0] - 1)
 
-    dx, dy, inb = bilinear_sample_pair(grad2, lvl, ys, xs)
+    span = 2.0 * cfg.ori_radius_factor * cfg.sigma_oct_max
+    dx, dy, inb = sample_grad_pair(gdx, gdy, lvl, ys, xs,
+                                   span_rows=span, method=cfg.sampler)
     mag = jnp.sqrt(dx * dx + dy * dy)
     ang = jnp.arctan2(dy, dx)                                  # [-pi, pi]
 

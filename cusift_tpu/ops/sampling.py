@@ -10,6 +10,7 @@ one [K, S] gather so XLA emits a single fused gather kernel
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -77,3 +78,27 @@ def bilinear_sample_pair(stack2: jnp.ndarray, lvl: jnp.ndarray,
     bot = cube[:, :, 1, 0] * (1 - fx) + cube[:, :, 1, 1] * fx
     v = top * (1 - fy) + bot * fy
     return v[..., 0], v[..., 1], inb
+
+
+def sample_grad_pair(gdx: jnp.ndarray, gdy: jnp.ndarray, lvl: jnp.ndarray,
+                     ys: jnp.ndarray, xs: jnp.ndarray, *, span_rows: float,
+                     method: str = "auto"):
+    """Bilinear-sample the (dx, dy) gradient planes at per-slot float coords.
+
+    Dispatches between the Pallas strip-DMA kernel (ops/pallas/sampler.py —
+    ~30x faster on v5e) and the fused-gather XLA path (CPU, interpret, or
+    vmapped callers).  ``span_rows``: static upper bound on the row extent
+    of one slot's samples; sizes the Pallas strip (+10 rows: 8 for offset
+    alignment, 1 bilinear support, 1 slack).
+
+    gdx, gdy: [L, H, W]; lvl: [K] int32; ys, xs: [K, S] float32.
+    Returns (dx [K, S], dy [K, S], in_bounds [K, S]).
+    """
+    if method == "auto":
+        method = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if method == "pallas" and ys.ndim == 2 and ys.shape[0] % 8 == 0:
+        from .pallas.sampler import sample_patches
+        pr = -(-(int(span_rows) + 10) // 8) * 8
+        return sample_patches(gdx, gdy, lvl, ys, xs, pr=pr)
+    grad2 = jnp.stack([gdx, gdy], axis=-1)
+    return bilinear_sample_pair(grad2, lvl, ys, xs)

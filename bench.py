@@ -28,9 +28,11 @@ def main():
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--size", type=int, nargs=2, default=(480, 640))
-    ap.add_argument("--max-kpts", type=int, default=2048)
+    ap.add_argument("--max-kpts", type=int, default=4096)
     ap.add_argument("--batch", type=int, default=0,
                     help="also run batched extraction with this many frames")
+    ap.add_argument("--no-upscale", action="store_true",
+                    help="skip the 2x first octave (cv2/CudaSift extract it)")
     ap.add_argument("--profile", action="store_true",
                     help="capture a jax.profiler trace into ./trace")
     args = ap.parse_args()
@@ -48,7 +50,8 @@ def main():
     h, w = args.size
     img_a, img_b, _ = warped_pair(h, w, seed=1, blobs=800, detail=0.25)
     sift_cfg = SiftConfig(max_kpts=args.max_kpts,
-                          max_kpts_per_octave=args.max_kpts // 2)
+                          max_kpts_per_octave=args.max_kpts // 2,
+                          upscale=not args.no_upscale)
     match_cfg = MatchConfig()
 
     @jax.jit

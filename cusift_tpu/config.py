@@ -75,8 +75,14 @@ class SiftConfig:
 
     @property
     def total_kpts(self) -> int:
-        """Descriptor-slot capacity: keypoints x orientation slots."""
-        return self.max_kpts * self.max_orientations
+        """Final per-frame (keypoint, orientation) descriptor-slot capacity.
+
+        Equal to max_kpts: secondary orientations compete with weaker
+        keypoints for the same static budget, which keeps the matcher's
+        [N, N] program at the size the user asked for instead of 2x
+        (4x the matmul) mostly-dead lanes.
+        """
+        return self.max_kpts
 
     def kpt_budget(self, octave: int) -> int:
         """Static candidate budget of one octave (multiple of 8)."""
@@ -130,6 +136,9 @@ class MatchConfig:
     ratio_thresh: float = 0.8           # Lowe ratio on L2 distances (d1/d2)
     min_score: float = -1.0             # optional floor on best correlation
     cross_check: bool = False
+    # matcher backend: "auto" (fused Pallas top-2 on TPU, XLA elsewhere),
+    # "pallas", or "xla"
+    backend: str = "auto"
     dtype: str = "float32"              # accumulate in f32; inputs may be bf16
 
 

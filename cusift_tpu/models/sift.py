@@ -87,11 +87,14 @@ def extract(img: jnp.ndarray, cfg: SiftConfig = SiftConfig()) -> SiftFeatures:
     parts = []
     for oi, oct_ in enumerate(octaves):
         kps = detect_octave(oct_, oi, cfg)
-        gdx, gdy = image_gradients(oct_.gauss)        # [L, H, W] each
-        hist = orientation_histograms(gdx, gdy, kps, cfg)
+        # keypoints only live on DoG levels 1..S — skip gradient planes of
+        # the 3 never-sampled Gaussian levels (halves gradient + strip DMA)
+        s_ = cfg.scales_per_octave
+        gdx, gdy = image_gradients(oct_.gauss[1:s_ + 1])
+        hist = orientation_histograms(gdx, gdy, kps, cfg, level_base=1)
         theta, ok = dominant_orientations(hist, cfg)
         slots = compact_slots(kps, theta, ok, cfg.desc_slots(oi))
-        desc, slot_valid = descriptors(gdx, gdy, slots, cfg)
+        desc, slot_valid = descriptors(gdx, gdy, slots, cfg, level_base=1)
         parts.append(_features_from(slots, desc, slot_valid))
     return _topk(_concat(parts), cfg.total_kpts)
 

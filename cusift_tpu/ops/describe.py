@@ -86,10 +86,11 @@ def _spatial_weights(g: int, d: int) -> tuple[np.ndarray, np.ndarray, np.ndarray
 
 
 def descriptors(gdx: jnp.ndarray, gdy: jnp.ndarray, slots: Slots,
-                cfg: SiftConfig):
+                cfg: SiftConfig, level_base: int = 0):
     """Descriptors for compacted slots of one octave.
 
-    gdx, gdy: [L, H, W] Gaussian-stack gradient planes.
+    gdx, gdy: [L, H, W] Gaussian-stack gradient planes; plane i is
+    Gaussian level i + level_base.
     Returns (desc [N, 128], slot_valid [N]).
     """
     g, d, nb = cfg.desc_grid, cfg.desc_width, cfg.desc_bins
@@ -98,7 +99,7 @@ def descriptors(gdx: jnp.ndarray, gdy: jnp.ndarray, slots: Slots,
     th = slots.theta
     slot_valid = slots.valid
     xo, yo, so = slots.xo, slots.yo, slots.so
-    lvl = jnp.clip(slots.level, 0, gdx.shape[0] - 1)
+    lvl = jnp.clip(slots.level - level_base, 0, gdx.shape[0] - 1)
     n = th.shape[0]
 
     sigma_oct = cfg.sigma0 * 2.0 ** (so / cfg.scales_per_octave)

@@ -8,10 +8,10 @@ quadratic refinement, atomic append.  TPU design (SURVEY.md §2.2, §7):
   [S+2, H, W] DoG stack — dense, VPU-friendly, no divergence;
 * candidates are compacted with `top_k` on |DoG| into a static
   per-octave budget (no atomics, no host sync);
-* quadratic refinement runs only on the compacted candidates: all ten
-  fit derivatives are precomputed densely in one VPU pass, so each
-  refinement iteration is a single batched [K, 10] channel gather plus a
-  closed-form 3x3 solve — no per-candidate cube slicing.
+* quadratic refinement runs only on the compacted candidates: each
+  refinement iteration is ONE batched (3,3,3)-slice gather over all
+  candidates plus closed-form batched 3x3 solves — no per-candidate
+  dynamic slicing and no dense derivative materialisation.
 """
 
 from __future__ import annotations
@@ -50,51 +50,43 @@ def _extrema_mask(dog: jnp.ndarray, prefilter: float) -> jnp.ndarray:
     return jnp.pad(mask, ((0, 0), (1, 1), (1, 1)))  # [S, H, W]
 
 
-def _dense_derivs(dog: jnp.ndarray) -> jnp.ndarray:
-    """All quadratic-fit derivatives of the DoG stack, densely: [S+2,H,W,10].
+def _gather_cubes(dog: jnp.ndarray, lvl, y, x) -> jnp.ndarray:
+    """One batched gather of 3x3x3 DoG neighbourhoods: [K, 3, 3, 3].
 
-    Channels: (v, dx, dy, ds, dxx, dyy, dss, dxy, dxs, dys).  One fused VPU
-    pass over the stack; refinement then needs only a [K, 10] channel gather
-    per iteration instead of a 3x3x3 ``dynamic_slice`` per candidate (the
-    vmapped-cube form cost ~25 ms/frame on v5e — 10x the rest of detection).
-    Shifts wrap at the borders, so border lanes hold garbage; candidates are
-    clipped to the interior before any gather, which never reads them.
+    Flat single-element take with a static 27-point stencil: (lvl, y, x)
+    are pre-clipped to the stack interior, so plain flat-index arithmetic
+    is exact.  Both alternatives lose badly on v5e: vmapped
+    ``dynamic_slice`` / multi-dim (3,3,3)-slice gathers cost ~25 ms/frame,
+    and a dense 10-channel derivative precompute pays ~250 MB of HBM
+    traffic per upscaled octave.
     """
-    c = dog
-    sh = lambda a, d, ax: jnp.roll(a, -d, ax)
-    xp, xm = sh(c, 1, 2), sh(c, -1, 2)
-    yp, ym = sh(c, 1, 1), sh(c, -1, 1)
-    sp, sm = sh(c, 1, 0), sh(c, -1, 0)
-    dx = 0.5 * (xp - xm)
-    dy = 0.5 * (yp - ym)
-    ds = 0.5 * (sp - sm)
-    dxx = xp - 2 * c + xm
-    dyy = yp - 2 * c + ym
-    dss = sp - 2 * c + sm
-    dxy = 0.25 * (sh(yp, 1, 2) - sh(yp, -1, 2) - sh(ym, 1, 2) + sh(ym, -1, 2))
-    dxs = 0.25 * (sh(sp, 1, 2) - sh(sp, -1, 2) - sh(sm, 1, 2) + sh(sm, -1, 2))
-    dys = 0.25 * (sh(sp, 1, 1) - sh(sp, -1, 1) - sh(sm, 1, 1) + sh(sm, -1, 1))
-    return jnp.stack([c, dx, dy, ds, dxx, dyy, dss, dxy, dxs, dys], -1)
+    s, h, w = dog.shape
+    ds_, dy_, dx_ = jnp.meshgrid(jnp.arange(-1, 2), jnp.arange(-1, 2),
+                                 jnp.arange(-1, 2), indexing="ij")
+    stencil = (ds_ * h * w + dy_ * w + dx_).reshape(-1)        # [27] static
+    base = (lvl * h + y) * w + x                               # [K]
+    idx = base[:, None] + stencil[None, :]                     # [K, 27]
+    return jnp.take(dog.reshape(-1), idx, mode="clip").reshape(-1, 3, 3, 3)
 
 
-def _gather_derivs(derivs: jnp.ndarray, lvl, y, x) -> jnp.ndarray:
-    """Fetch the 10 derivative channels at integer (lvl, y, x): [K, 10]."""
-    starts = jnp.stack([lvl, y, x], -1)
-    dn = lax.GatherDimensionNumbers(offset_dims=(1,),
-                                    collapsed_slice_dims=(0, 1, 2),
-                                    start_index_map=(0, 1, 2))
-    return lax.gather(derivs, starts, dn,
-                      slice_sizes=(1, 1, 1, derivs.shape[-1]),
-                      mode=lax.GatherScatterMode.CLIP)
+def _solve_at(dog, lvl, y, x):
+    """Quadratic fit at integer locations: (v, g [K,3], H [K,3,3], off, ok).
 
-
-def _solve_at(derivs, lvl, y, x):
-    """Quadratic fit at integer locations: (v, g [K,3], H [K,3,3], off, ok)."""
-    d = _gather_derivs(derivs, lvl, y, x)
-    v = d[:, 0]
-    g = d[:, 1:4]
-    dxx, dyy, dss, dxy, dxs, dys = (d[:, 4], d[:, 5], d[:, 6],
-                                    d[:, 7], d[:, 8], d[:, 9])
+    Derivative stencils match the reference's in-thread finite differences
+    (``FindPointsMulti``); all arithmetic is [K]-batched VPU math.
+    """
+    c = _gather_cubes(dog, lvl, y, x)
+    v = c[:, 1, 1, 1]
+    dx = 0.5 * (c[:, 1, 1, 2] - c[:, 1, 1, 0])
+    dy = 0.5 * (c[:, 1, 2, 1] - c[:, 1, 0, 1])
+    ds = 0.5 * (c[:, 2, 1, 1] - c[:, 0, 1, 1])
+    dxx = c[:, 1, 1, 2] - 2 * v + c[:, 1, 1, 0]
+    dyy = c[:, 1, 2, 1] - 2 * v + c[:, 1, 0, 1]
+    dss = c[:, 2, 1, 1] - 2 * v + c[:, 0, 1, 1]
+    dxy = 0.25 * (c[:, 1, 2, 2] - c[:, 1, 2, 0] - c[:, 1, 0, 2] + c[:, 1, 0, 0])
+    dxs = 0.25 * (c[:, 2, 1, 2] - c[:, 2, 1, 0] - c[:, 0, 1, 2] + c[:, 0, 1, 0])
+    dys = 0.25 * (c[:, 2, 2, 1] - c[:, 2, 0, 1] - c[:, 0, 2, 1] + c[:, 0, 0, 1])
+    g = jnp.stack([dx, dy, ds], -1)
     row0 = jnp.stack([dxx, dxy, dxs], -1)
     row1 = jnp.stack([dxy, dyy, dys], -1)
     row2 = jnp.stack([dxs, dys, dss], -1)
@@ -103,14 +95,14 @@ def _solve_at(derivs, lvl, y, x):
     return v, g, H, off, ok
 
 
-def _refine_batch(derivs: jnp.ndarray, lvl, y, x, cfg: SiftConfig,
+def _refine_batch(dog: jnp.ndarray, lvl, y, x, cfg: SiftConfig,
                   shape: tuple):
     """Iteratively refine all candidates at once; arrays are [K]-shaped."""
     s_levels, h, w = shape
 
     def step(carry, _):
         lvl, y, x, _ = carry
-        _, _, _, off, ok = _solve_at(derivs, lvl, y, x)
+        _, _, _, off, ok = _solve_at(dog, lvl, y, x)
         # move the integer location while the offset escapes the pixel
         mx = jnp.round(off[:, 0]).astype(jnp.int32)
         my = jnp.round(off[:, 1]).astype(jnp.int32)
@@ -123,7 +115,7 @@ def _refine_batch(derivs: jnp.ndarray, lvl, y, x, cfg: SiftConfig,
     init = (lvl, y, x, jnp.ones_like(lvl, dtype=bool))
     (lvl, y, x, ok), _ = lax.scan(step, init, None, length=cfg.refine_iters)
     # recompute at the final integer location for consistent derivatives
-    v, g, H, off, ok2 = _solve_at(derivs, lvl, y, x)
+    v, g, H, off, ok2 = _solve_at(dog, lvl, y, x)
     contrast = v + 0.5 * jnp.sum(g * off, -1)
 
     converged = jnp.all(jnp.abs(off) < 1.0, -1) & ok & ok2
@@ -170,9 +162,8 @@ def detect_octave(oct_: Octave, octave_idx: int, cfg: SiftConfig) -> Keypoints:
     y = jnp.clip(y, 1, h - 2)
     x = jnp.clip(x, 1, w - 2)
 
-    derivs = _dense_derivs(dog)
     xo, yo, so, lvl_f, contrast, edgeness, valid = _refine_batch(
-        derivs, lvl, y, x, cfg, dog.shape)
+        dog, lvl, y, x, cfg, dog.shape)
     valid = valid & cand_valid
 
     # octave-local -> base-image coordinates

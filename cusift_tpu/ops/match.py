@@ -35,14 +35,34 @@ def match(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
           desc_b: jnp.ndarray, valid_b: jnp.ndarray,
           cfg: MatchConfig = MatchConfig()) -> Matches:
     """Ratio-test matching of [N, 128] against [M, 128] unit descriptors."""
-    sim = jnp.dot(desc_a, desc_b.T, preferred_element_type=jnp.float32)
-    sim = jnp.where(valid_b[None, :], sim, -jnp.inf)           # mask dead cols
-    # best + second-best via two dense max passes: `lax.top_k` sorts each
-    # row (~10 ms at 4096x4096 on v5e); max/argmax are plain VPU reductions.
-    s1 = jnp.max(sim, axis=-1)
-    i1 = jnp.argmax(sim, axis=-1).astype(jnp.int32)
-    cols = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
-    s2 = jnp.max(jnp.where(cols == i1[:, None], -jnp.inf, sim), axis=-1)
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if desc_b.shape[0] > 8192:
+        backend = "xla"  # replicated B would not fit VMEM in the kernel
+
+    if backend == "pallas":
+        # fused MXU matmul + in-VMEM top-2: the [N, M] similarity matrix
+        # never round-trips through HBM (ops/pallas/matcher.py)
+        from .pallas.matcher import _pallas_top2
+        top, i1 = _pallas_top2(desc_a, desc_b, valid_b)
+        s1, s2 = top[:, 0], top[:, 1]
+        if cfg.cross_check:
+            _, best_for_b = _pallas_top2(desc_b, desc_a, valid_a)
+    else:
+        sim = jnp.dot(desc_a, desc_b.T, preferred_element_type=jnp.float32)
+        sim = jnp.where(valid_b[None, :], sim, -jnp.inf)       # mask dead cols
+        # best + second-best via two dense max passes: `lax.top_k` sorts
+        # each row (~10 ms at 4096x4096 on v5e); max/argmax are plain VPU
+        # reductions.
+        s1 = jnp.max(sim, axis=-1)
+        i1 = jnp.argmax(sim, axis=-1).astype(jnp.int32)
+        cols = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
+        s2 = jnp.max(jnp.where(cols == i1[:, None], -jnp.inf, sim), axis=-1)
+        if cfg.cross_check:
+            sim_m = jnp.where(valid_a[:, None], sim, -jnp.inf)
+            best_for_b = jnp.argmax(sim_m, axis=0)              # [M]
+
     # unit vectors: d^2 = 2 - 2 * <a, b>
     d1 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * s1, 0.0))
     d2 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * s2, 1e-12))
@@ -50,8 +70,6 @@ def match(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
     ok = (valid_a & jnp.isfinite(s1)
           & (ratio < cfg.ratio_thresh) & (s1 > cfg.min_score))
     if cfg.cross_check:
-        sim_m = jnp.where(valid_a[:, None], sim, -jnp.inf)
-        best_for_b = jnp.argmax(sim_m, axis=0)                  # [M]
         ok = ok & (best_for_b[i1] == jnp.arange(desc_a.shape[0]))
     return Matches(idx=i1, dist=d1,
                    score=s1, ratio=ratio, ok=ok)

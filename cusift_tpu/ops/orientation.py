@@ -35,10 +35,13 @@ def _smooth_hist(h: jnp.ndarray) -> jnp.ndarray:
 
 
 def orientation_histograms(gdx: jnp.ndarray, gdy: jnp.ndarray,
-                           kps: Keypoints, cfg: SiftConfig) -> jnp.ndarray:
+                           kps: Keypoints, cfg: SiftConfig,
+                           level_base: int = 0) -> jnp.ndarray:
     """[K, ori_bins] gradient-direction histograms (octave-local sampling).
 
-    gdx, gdy: [L, H, W] gradient planes of this octave's Gaussian stack.
+    gdx, gdy: [L, H, W] gradient planes of this octave's Gaussian stack;
+    plane i corresponds to Gaussian level i + level_base (keypoints only
+    live on DoG levels 1..S, so callers can skip the unused planes).
     """
     g = cfg.ori_grid
     nb = cfg.ori_bins
@@ -47,7 +50,7 @@ def orientation_histograms(gdx: jnp.ndarray, gdy: jnp.ndarray,
     radius = cfg.ori_radius_factor * sigma_oct                 # [K]
     ys = kps.yo[:, None] + radius[:, None] * offs[None, :, 0]  # [K, S]
     xs = kps.xo[:, None] + radius[:, None] * offs[None, :, 1]
-    lvl = jnp.clip(kps.level, 0, gdx.shape[0] - 1)
+    lvl = jnp.clip(kps.level - level_base, 0, gdx.shape[0] - 1)
 
     span = 2.0 * cfg.ori_radius_factor * cfg.sigma_oct_max
     dx, dy, inb = sample_grad_pair(gdx, gdy, lvl, ys, xs,

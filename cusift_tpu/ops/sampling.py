@@ -99,6 +99,7 @@ def sample_grad_pair(gdx: jnp.ndarray, gdy: jnp.ndarray, lvl: jnp.ndarray,
     if method == "pallas" and ys.ndim == 2 and ys.shape[0] % 8 == 0:
         from .pallas.sampler import sample_patches
         pr = -(-(int(span_rows) + 10) // 8) * 8
-        return sample_patches(gdx, gdy, lvl, ys, xs, pr=pr)
+        pc = -(-(int(span_rows) + 130) // 128) * 128
+        return sample_patches(gdx, gdy, lvl, ys, xs, pr=pr, pc=pc)
     grad2 = jnp.stack([gdx, gdy], axis=-1)
     return bilinear_sample_pair(grad2, lvl, ys, xs)

@@ -107,8 +107,11 @@ class SlamState:
     kf_desc: jnp.ndarray      # [KF, N, 128]
     kf_valid: jnp.ndarray     # [KF, N]
     kf_pts: jnp.ndarray       # [KF, N, 3] camera-frame backprojections
-    kf_pose_r: jnp.ndarray    # [KF, 3, 3] world-to-camera
-    kf_pose_t: jnp.ndarray    # [KF, 3]
+    # poses are host-side numpy: every per-frame pose update/read on device
+    # arrays costs a ~38 ms tunnel round-trip; the pose-graph optimiser
+    # converts to device arrays only when a loop closure actually fires
+    kf_pose_r: np.ndarray     # [KF, 3, 3] world-to-camera
+    kf_pose_t: np.ndarray     # [KF, 3]
     n_kf: int
     # pose-graph edges (host lists; bounded by frames processed)
     edge_i: list
@@ -139,11 +142,11 @@ class Slam:
         self.key = jax.random.PRNGKey(seed)
         n = sift_cfg.total_kpts
         kf = slam_cfg.max_keyframes
-        eye = jnp.broadcast_to(jnp.eye(3), (kf, 3, 3))
+        eye = np.broadcast_to(np.eye(3, dtype=np.float32), (kf, 3, 3)).copy()
         self.state = SlamState(
             kf_desc=jnp.zeros((kf, n, 128)), kf_valid=jnp.zeros((kf, n), bool),
             kf_pts=jnp.zeros((kf, n, 3)), kf_pose_r=eye,
-            kf_pose_t=jnp.zeros((kf, 3)), n_kf=0,
+            kf_pose_t=np.zeros((kf, 3), np.float32), n_kf=0,
             edge_i=[], edge_j=[], meas_r=[], meas_t=[], weight=[],
             traj_ref=[], traj_rel_r=[], traj_rel_t=[], traj_ok=[])
         self.metrics: list[dict] = []
@@ -157,9 +160,12 @@ class Slam:
         s.kf_desc = s.kf_desc.at[i].set(desc)
         s.kf_valid = s.kf_valid.at[i].set(valid)
         s.kf_pts = s.kf_pts.at[i].set(pts)
-        s.kf_pose_r = s.kf_pose_r.at[i].set(pose_r)
-        s.kf_pose_t = s.kf_pose_t.at[i].set(pose_t)
+        s.kf_pose_r[i] = np.asarray(pose_r)
+        s.kf_pose_t[i] = np.asarray(pose_t)
         s.n_kf = i + 1
+        # cache the new reference's committed views: passing lazy slices to
+        # the jitted step makes its dispatch block ~48 ms on the tunnel
+        self._ref_cache = (i, s.kf_desc[i], s.kf_valid[i], s.kf_pts[i])
         return i
 
     def _add_edge(self, i, j, rel_r, rel_t, weight=1.0):
@@ -181,31 +187,47 @@ class Slam:
         """Track one RGB-D frame; returns per-frame metrics.
 
         One device dispatch + one 22-float fetch per frame (axon host
-        round-trips cost ~30 ms each; see _frame_step).
+        round-trips cost ~30 ms each; see _frame_step).  For sequences,
+        prefer `run`, which overlaps the fetch of frame i with the device
+        work of frame i+1.
         """
+        if self.state.n_kf == 0:
+            return self._bootstrap(img, depth)
+        return self._commit(*self._dispatch(img, depth))
+
+    def _bootstrap(self, img, depth) -> dict:
         s = self.state
-        img = jnp.asarray(img)
-        depth = jnp.asarray(depth)
+        feats, pts, _ = _extract_with_points(jnp.asarray(img),
+                                             jnp.asarray(depth), self.intr,
+                                             self.sift_cfg)
+        i = self._add_keyframe(feats.desc, feats.valid, pts,
+                               np.eye(3, dtype=np.float32),
+                               np.zeros(3, np.float32))
+        s.traj_ref.append(i)
+        s.traj_rel_r.append(np.eye(3, dtype=np.float32))
+        s.traj_rel_t.append(np.zeros(3, np.float32))
+        s.traj_ok.append(True)
+        rec = {"frame": 0, "kpts": int(feats.count), "matches": 0,
+               "inliers": 0, "keyframe": True, "loop": False}
+        self.metrics.append(rec)
+        return rec
 
-        if s.n_kf == 0:
-            feats, pts, _ = _extract_with_points(img, depth, self.intr,
-                                                 self.sift_cfg)
-            i = self._add_keyframe(feats.desc, feats.valid, pts,
-                                   jnp.eye(3), jnp.zeros(3))
-            s.traj_ref.append(i)
-            s.traj_rel_r.append(np.eye(3, dtype=np.float32))
-            s.traj_rel_t.append(np.zeros(3, np.float32))
-            s.traj_ok.append(True)
-            rec = {"frame": 0, "kpts": int(feats.count), "matches": 0,
-                   "inliers": 0, "keyframe": True, "loop": False}
-            self.metrics.append(rec)
-            return rec
+    def _dispatch(self, img, depth):
+        """Enqueue one tracking step against the current reference keyframe.
 
-        ref = s.n_kf - 1
+        Returns (feats, pts, packed_device, ref) without any host sync —
+        the caller chooses when to pay the fetch.
+        """
+        ref, kd, kv, kp = self._ref_cache
         feats, pts, packed = _frame_step(
-            img, depth, self.intr, s.kf_desc[ref], s.kf_valid[ref],
-            s.kf_pts[ref], self.sift_cfg, self.match_cfg, self.ransac_cfg,
+            jnp.asarray(img), jnp.asarray(depth), self.intr, kd, kv, kp,
+            self.sift_cfg, self.match_cfg, self.ransac_cfg,
             self._next_key())
+        return feats, pts, packed, ref
+
+    def _commit(self, feats, pts, packed, ref) -> dict:
+        """Fetch one step's packed scalars and apply the SLAM decisions."""
+        s = self.state
         desc, valid = feats.desc, feats.valid
         packed = np.asarray(packed)                      # the one fetch
         inl = int(packed[0])
@@ -223,8 +245,6 @@ class Slam:
 
         trans_mag = float(np.linalg.norm(xi[:3]))
         rot_mag = float(np.linalg.norm(xi[3:]))
-        rel_r = jnp.asarray(rel_r)
-        rel_t = jnp.asarray(rel_t)
         need_kf = tracked and (
             inl < self.cfg.kf_min_inliers
             or trans_mag > self.cfg.kf_max_translation
@@ -233,11 +253,12 @@ class Slam:
         loop_found = False
         if need_kf and s.n_kf < self.cfg.max_keyframes:
             # pose of the new keyframe: T_cur<-w = T_cur<-ref * T_ref<-w
-            pose_r, pose_t = compose(rel_r, rel_t,
-                                     s.kf_pose_r[ref], s.kf_pose_t[ref])
+            # (host numpy 3x3 math; device round-trips cost ~38 ms each)
+            pose_r = rel_r @ s.kf_pose_r[ref]
+            pose_t = rel_r @ s.kf_pose_t[ref] + rel_t
             j = self._add_keyframe(desc, valid, pts, pose_r, pose_t)
             # odometry edge ref -> j measured T_ref * T_j^-1
-            o_r, o_t = inverse(rel_r, rel_t)
+            o_r, o_t = rel_r.T, -(rel_r.T @ rel_t)
             self._add_edge(ref, j, o_r, o_t, 1.0)
             loop_found = self._try_loop_closure(j, desc, valid, pts)
             s.traj_ref.append(j)
@@ -258,6 +279,26 @@ class Slam:
                 and s.n_kf % self.cfg.checkpoint_every == 0):
             self.checkpoint(f"slam_ckpt_{s.n_kf:04d}.npz")
         return rec
+
+    def run(self, frames, max_frames: int | None = None) -> list[dict]:
+        """Process an iterable of (img, depth) pairs, fully pipelined.
+
+        Uploads of frame i+1 run on a feeder thread during frame i's device
+        work (utils/pipeline.py) — on slow transfer links (the axon tunnel
+        pays ~34 ms per transfer) this cuts ms/frame by ~2x vs calling
+        process_frame with host arrays.  (Dispatching frame i+1 before
+        fetching frame i's scalars was tried and is *slower* here: the
+        tunnel serialises the fetch behind the speculated execution.)
+        """
+        from ..utils.pipeline import device_frames
+        for i, f in enumerate(device_frames(frames)):
+            if max_frames is not None and i >= max_frames:
+                break
+            if self.state.n_kf == 0:
+                self._bootstrap(f[0], f[1])
+                continue
+            self._commit(*self._dispatch(f[0], f[1]))
+        return self.metrics
 
     def _try_loop_closure(self, j, desc, valid, pts) -> bool:
         """Retrieval + geometric verification + pose-graph update."""
@@ -291,7 +332,7 @@ class Slam:
         kf = self.cfg.max_keyframes
         e = len(s.edge_i)
         g = PoseGraph(
-            poses_r=s.kf_pose_r, poses_t=s.kf_pose_t,
+            poses_r=jnp.asarray(s.kf_pose_r), poses_t=jnp.asarray(s.kf_pose_t),
             edge_i=jnp.asarray(np.array(s.edge_i, np.int32)),
             edge_j=jnp.asarray(np.array(s.edge_j, np.int32)),
             meas_r=jnp.asarray(np.stack(s.meas_r)),
@@ -299,16 +340,16 @@ class Slam:
             weight=jnp.asarray(np.array(s.weight, np.float32)),
         )
         res = pg_optimize(g, self.pg_cfg)
-        s.kf_pose_r = res.poses_r
-        s.kf_pose_t = res.poses_t
+        s.kf_pose_r = np.asarray(res.poses_r)
+        s.kf_pose_t = np.asarray(res.poses_t)
 
     # ---------- outputs ----------
 
     def trajectory(self):
         """Per-frame world-to-camera poses (after all optimisation)."""
         s = self.state
-        kr = np.asarray(s.kf_pose_r)
-        kt = np.asarray(s.kf_pose_t)
+        kr = s.kf_pose_r
+        kt = s.kf_pose_t
         rs, ts = [], []
         for ref, rel_r, rel_t in zip(s.traj_ref, s.traj_rel_r, s.traj_rel_t):
             r = rel_r @ kr[ref]
@@ -348,8 +389,8 @@ class Slam:
         s.kf_desc = jnp.asarray(z["kf_desc"])
         s.kf_valid = jnp.asarray(z["kf_valid"])
         s.kf_pts = jnp.asarray(z["kf_pts"])
-        s.kf_pose_r = jnp.asarray(z["kf_pose_r"])
-        s.kf_pose_t = jnp.asarray(z["kf_pose_t"])
+        s.kf_pose_r = np.asarray(z["kf_pose_r"])
+        s.kf_pose_t = np.asarray(z["kf_pose_t"])
         s.n_kf = int(z["n_kf"])
         s.edge_i = list(z["edge_i"])
         s.edge_j = list(z["edge_j"])
@@ -362,3 +403,5 @@ class Slam:
         s.traj_ok = list(z["traj_ok"])
         s.n_closures = int(z["n_closures"])
         self.key = jnp.asarray(z["key"])
+        i = s.n_kf - 1
+        self._ref_cache = (i, s.kf_desc[i], s.kf_valid[i], s.kf_pts[i])

@@ -1,0 +1,59 @@
+"""Host->device frame pipelining.
+
+The reference streams frames over PCIe with `cudaMemcpy` per frame
+(SURVEY.md C3 ``Download``); on a TPU host the analogous `device_put` is
+synchronous and, through the axon tunnel, costs ~34 ms per transfer —
+2 uploads + 1 result fetch would triple a 30 ms/frame SLAM budget.  This
+module hides upload latency behind compute:
+
+* frames (image + depth) are packed into ONE [2, H, W] array so each frame
+  costs one transfer instead of two;
+* a daemon thread uploads frame i+1 while the device processes frame i
+  (bounded queue, depth 2 — classic double buffering, the TPU-side analog
+  of the native loader's decode prefetch in native/frameloader.cpp).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pack_frame(img: np.ndarray, depth: np.ndarray | None) -> np.ndarray:
+    """Stack image + depth into one [2, H, W] host array (one upload)."""
+    if depth is None:
+        depth = np.zeros_like(img)
+    return np.stack([np.asarray(img, np.float32),
+                     np.asarray(depth, np.float32)])
+
+
+def device_frames(frames: Iterable, prefetch: int = 2) -> Iterator:
+    """Yield device-resident packed frames, uploading ahead of consumption.
+
+    ``frames``: iterable of (img, depth) numpy pairs (depth may be None).
+    Uploads run on a daemon thread with a bounded queue so at most
+    ``prefetch`` frames are in flight — upload latency overlaps the
+    consumer's compute instead of serialising with it.
+    """
+    q: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
+    stop = object()
+
+    def worker():
+        try:
+            for img, depth in frames:
+                q.put(jax.device_put(pack_frame(img, depth)))
+        finally:
+            q.put(stop)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            return
+        yield item

@@ -19,7 +19,6 @@ import jax.numpy as jnp
 from ..config import SiftConfig
 from ..ops.describe import compact_slots, descriptors
 from ..ops.detect import detect_octave
-from ..ops.gaussian import image_gradients
 from ..ops.keypoints import Keypoints
 from ..ops.orientation import dominant_orientations, orientation_histograms
 from ..ops.pyramid import build_pyramid
@@ -87,14 +86,14 @@ def extract(img: jnp.ndarray, cfg: SiftConfig = SiftConfig()) -> SiftFeatures:
     parts = []
     for oi, oct_ in enumerate(octaves):
         kps = detect_octave(oct_, oi, cfg)
-        # keypoints only live on DoG levels 1..S — skip gradient planes of
-        # the 3 never-sampled Gaussian levels (halves gradient + strip DMA)
+        # keypoints only live on DoG levels 1..S — pass only those levels
+        # (the sampler computes gradients itself; SURVEY.md C9-C10)
         s_ = cfg.scales_per_octave
-        gdx, gdy = image_gradients(oct_.gauss[1:s_ + 1])
-        hist = orientation_histograms(gdx, gdy, kps, cfg, level_base=1)
+        glevels = oct_.gauss[1:s_ + 1]
+        hist = orientation_histograms(glevels, kps, cfg, level_base=1)
         theta, ok = dominant_orientations(hist, cfg)
         slots = compact_slots(kps, theta, ok, cfg.desc_slots(oi))
-        desc, slot_valid = descriptors(gdx, gdy, slots, cfg, level_base=1)
+        desc, slot_valid = descriptors(glevels, slots, cfg, level_base=1)
         parts.append(_features_from(slots, desc, slot_valid))
     return _topk(_concat(parts), cfg.total_kpts)
 

@@ -85,21 +85,21 @@ def _spatial_weights(g: int, d: int) -> tuple[np.ndarray, np.ndarray, np.ndarray
     return coords.astype(np.float32), w_spatial.astype(np.float32), gauss.astype(np.float32)
 
 
-def descriptors(gdx: jnp.ndarray, gdy: jnp.ndarray, slots: Slots,
+def descriptors(gauss: jnp.ndarray, slots: Slots,
                 cfg: SiftConfig, level_base: int = 0):
     """Descriptors for compacted slots of one octave.
 
-    gdx, gdy: [L, H, W] Gaussian-stack gradient planes; plane i is
-    Gaussian level i + level_base.
+    gauss: [L, H, W] blurred levels (gradients taken by the sampler);
+    plane i is Gaussian level i + level_base.
     Returns (desc [N, 128], slot_valid [N]).
     """
     g, d, nb = cfg.desc_grid, cfg.desc_width, cfg.desc_bins
-    coords, w_spatial, gauss = map(jnp.asarray, _spatial_weights(g, d))
+    coords, w_spatial, gw = map(jnp.asarray, _spatial_weights(g, d))
 
     th = slots.theta
     slot_valid = slots.valid
     xo, yo, so = slots.xo, slots.yo, slots.so
-    lvl = jnp.clip(slots.level - level_base, 0, gdx.shape[0] - 1)
+    lvl = jnp.clip(slots.level - level_base, 0, gauss.shape[0] - 1)
     n = th.shape[0]
 
     sigma_oct = cfg.sigma0 * 2.0 ** (so / cfg.scales_per_octave)
@@ -114,7 +114,7 @@ def descriptors(gdx: jnp.ndarray, gdy: jnp.ndarray, slots: Slots,
     # rotated grid: worst-case row extent = d * cell_w * sqrt(2)
     span = (cfg.desc_width * cfg.desc_scale_factor * cfg.sigma_oct_max
             * 1.4143)
-    dx, dy, inb = sample_grad_pair(gdx, gdy, lvl, ys, xs,
+    dx, dy, inb = sample_grad_pair(gauss, lvl, ys, xs,
                                    span_rows=span, method=cfg.sampler)
     mag = jnp.sqrt(dx * dx + dy * dy)
     # Gradient direction rotated into the keypoint frame.  Negated (theta -
@@ -122,7 +122,7 @@ def descriptors(gdx: jnp.ndarray, gdy: jnp.ndarray, slots: Slots,
     # rows grow downward here); validated against the cv2 oracle in
     # tests/test_describe.py.
     ang = th[:, None] - jnp.arctan2(dy, dx)
-    w = mag * gauss[None, :] * inb                             # [KM, S]
+    w = mag * gw[None, :] * inb                                # [KM, S]
 
     # Soft orientation binning as broadcast circular-distance weights
     # (2 non-zeros per sample; no eye[...] gathers).

@@ -34,14 +34,14 @@ def _smooth_hist(h: jnp.ndarray) -> jnp.ndarray:
     return (6.0 * h + 4.0 * r + r2) / 16.0
 
 
-def orientation_histograms(gdx: jnp.ndarray, gdy: jnp.ndarray,
-                           kps: Keypoints, cfg: SiftConfig,
+def orientation_histograms(gauss: jnp.ndarray, kps: Keypoints,
+                           cfg: SiftConfig,
                            level_base: int = 0) -> jnp.ndarray:
     """[K, ori_bins] gradient-direction histograms (octave-local sampling).
 
-    gdx, gdy: [L, H, W] gradient planes of this octave's Gaussian stack;
-    plane i corresponds to Gaussian level i + level_base (keypoints only
-    live on DoG levels 1..S, so callers can skip the unused planes).
+    gauss: [L, H, W] blurred levels of this octave (gradients are taken by
+    the sampler); plane i corresponds to Gaussian level i + level_base
+    (keypoints only live on DoG levels 1..S, so callers skip the rest).
     """
     g = cfg.ori_grid
     nb = cfg.ori_bins
@@ -50,10 +50,10 @@ def orientation_histograms(gdx: jnp.ndarray, gdy: jnp.ndarray,
     radius = cfg.ori_radius_factor * sigma_oct                 # [K]
     ys = kps.yo[:, None] + radius[:, None] * offs[None, :, 0]  # [K, S]
     xs = kps.xo[:, None] + radius[:, None] * offs[None, :, 1]
-    lvl = jnp.clip(kps.level - level_base, 0, gdx.shape[0] - 1)
+    lvl = jnp.clip(kps.level - level_base, 0, gauss.shape[0] - 1)
 
     span = 2.0 * cfg.ori_radius_factor * cfg.sigma_oct_max
-    dx, dy, inb = sample_grad_pair(gdx, gdy, lvl, ys, xs,
+    dx, dy, inb = sample_grad_pair(gauss, lvl, ys, xs,
                                    span_rows=span, method=cfg.sampler)
     mag = jnp.sqrt(dx * dx + dy * dy)
     ang = jnp.arctan2(dy, dx)                                  # [-pi, pi]

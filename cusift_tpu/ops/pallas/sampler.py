@@ -1,4 +1,4 @@
-"""Pallas patch sampler: per-keypoint gradient patches as MXU matmuls.
+"""Pallas patch sampler: per-keypoint gradient sampling as MXU matmuls.
 
 Reference analog: the texture-unit bilinear fetches of
 ``ComputeOrientations`` / ``ExtractSiftDescriptors`` (SURVEY.md C9–C10,
@@ -7,24 +7,28 @@ per fetched index — the [K*S] 4-corner gathers cost ~8 ms/frame on v5e even
 fused.  This kernel exploits that every keypoint's samples live in one small
 window of one pyramid level:
 
-  * per grid step, DMA G keypoints' [PR, PC] patches of (dx, dy) from the
-    HBM gradient planes into VMEM.  Patch corners are aligned to the
-    (8, 128) Mosaic tile (rows to 8, columns to 128, via ``pl.multiple_of``
-    hints) — alignment costs at most half a tile per side, which the patch
-    size budgets for;
+  * per grid step, DMA G keypoints' [PR, PC] patches of the *Gaussian*
+    stack from HBM into VMEM and compute the (dx, dy) central differences
+    in-register — the dense gradient planes never exist in HBM (the XLA
+    path materialises ~50 MB of them per frame), and each keypoint costs
+    ONE patch transfer instead of two.  Patch corners are aligned to the
+    (8, 128) Mosaic tile (rows to 8, cols to 128, via ``pl.multiple_of``);
   * bilinear interpolation is *separable*: sample s of keypoint g is
     ``wy[g,s,:] @ patch[g] @ wx[g,s,:]^T`` with hat-function weights
     (<= 2 non-zeros per row).  Contracting columns first keeps the
-    intermediate at [PR, S] (tiny) and turns all samples of a keypoint into
-    one [PR, PC] x [PC, S] MXU matmul per channel (SURVEY.md §7 "gathers
-    into matmuls").  Bounding the patch at PC=256 columns instead of the
-    full image width is what keeps the contraction small — a full-width
-    strip at the upscaled octave costs 6x the FLOPs for identical output.
+    intermediate at [PR, S] and turns all samples of a keypoint into one
+    [PR, PC] x [PC, S] MXU matmul per gradient channel (SURVEY.md §7
+    "gathers into matmuls").  Bounding the patch at PC=256 columns instead
+    of the image width keeps the contraction small — a full-width strip at
+    the upscaled octave costs 6x the FLOPs for identical output.
 
-Samples whose true coordinates fall outside the image get zero weight here
-(the patch never contains them); callers already zero those lanes via the
-``inb`` mask, so the only behavioural difference vs the XLA path is the
-value of masked-out lanes.
+Gradient border convention matches ops/gaussian.image_gradients: zero in
+the first/last image row/column (masks built from the prefetched absolute
+patch corners).  In-patch wrap-around from the rolled differences only
+touches patch-edge lanes, which are either image borders (masked) or
+outside every sample's hat support.  Samples whose true coordinates fall
+outside the image get zero weight (the patch never contains them); callers
+already zero those lanes via the ``inb`` mask.
 """
 
 from __future__ import annotations
@@ -41,59 +45,71 @@ _G = 8  # keypoints per grid step
 
 def _kernel(lvl_ref, y0_ref, x0_ref,          # scalar prefetch [N]
             ry_ref, rx_ref,                   # VMEM blocks [G, S]
-            gx_ref, gy_ref,                   # HBM planes [L, Hp, Wp]
+            g_ref,                            # HBM Gaussian stack [L, Hp, Wp]
             ox_ref, oy_ref,                   # VMEM out blocks [G, S]
-            px, py, sem,                      # scratch: patches + DMA sems
-            *, pr: int, pc: int):
+            patches, sem,                     # scratch: patches + DMA sems
+            *, pr: int, pc: int, h: int, w: int):
     i = pl.program_id(0)
 
-    def dma(plane_ref, scratch, j, slot):
+    def dma(j):
         k = i * _G + j
         y0 = pl.multiple_of(y0_ref[k], 8)     # aligned by the wrapper
         x0 = pl.multiple_of(x0_ref[k], 128)
         return pltpu.make_async_copy(
-            plane_ref.at[lvl_ref[k], pl.ds(y0, pr), pl.ds(x0, pc)],
-            scratch.at[j], sem.at[slot, j])
+            g_ref.at[lvl_ref[k], pl.ds(y0, pr), pl.ds(x0, pc)],
+            patches.at[j], sem.at[j])
 
     for j in range(_G):
-        dma(gx_ref, px, j, 0).start()
-        dma(gy_ref, py, j, 1).start()
+        dma(j).start()
     for j in range(_G):
-        dma(gx_ref, px, j, 0).wait()
-        dma(gy_ref, py, j, 1).wait()
+        dma(j).wait()
 
     s = ry_ref.shape[1]
     rowi = jax.lax.broadcasted_iota(jnp.int32, (pr, s), 0).astype(jnp.float32)
     coli = jax.lax.broadcasted_iota(jnp.int32, (pc, s), 0).astype(jnp.float32)
+    prow = jax.lax.broadcasted_iota(jnp.int32, (pr, pc), 0)
+    pcol = jax.lax.broadcasted_iota(jnp.int32, (pr, pc), 1)
     for j in range(_G):
+        k = i * _G + j
+        # zero-at-border gradient masks from absolute coordinates
+        arow = prow + y0_ref[k]
+        acol = pcol + x0_ref[k]
+        my = ((arow > 0) & (arow < h - 1)).astype(jnp.float32)
+        mx = ((acol > 0) & (acol < w - 1)).astype(jnp.float32)
+
+        p = patches[j]                                         # [PR, PC]
+        # pltpu.roll wants non-negative shifts: roll(-1) == roll(n-1)
+        gx = (0.5 * (pltpu.roll(p, pc - 1, 1) - pltpu.roll(p, 1, 1))) * mx
+        gy = (0.5 * (pltpu.roll(p, pr - 1, 0) - pltpu.roll(p, 1, 0))) * my
+
         ry = ry_ref[j, :]                                      # [S]
         rx = rx_ref[j, :]
         wyt = jnp.maximum(0.0, 1.0 - jnp.abs(ry[None, :] - rowi))  # [PR, S]
         wxt = jnp.maximum(0.0, 1.0 - jnp.abs(rx[None, :] - coli))  # [PC, S]
         # HIGHEST precision: a default bf16 MXU pass costs ~5e-3 absolute
         # in the sampled gradients, visibly degrading descriptor quality.
-        bx = jnp.dot(px[j], wxt, precision=jax.lax.Precision.HIGHEST,
+        bx = jnp.dot(gx, wxt, precision=jax.lax.Precision.HIGHEST,
                      preferred_element_type=jnp.float32)       # [PR, S]
-        by = jnp.dot(py[j], wxt, precision=jax.lax.Precision.HIGHEST,
+        by = jnp.dot(gy, wxt, precision=jax.lax.Precision.HIGHEST,
                      preferred_element_type=jnp.float32)
         ox_ref[j, :] = jnp.sum(bx * wyt, axis=0)
         oy_ref[j, :] = jnp.sum(by * wyt, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("pr", "pc", "interpret"))
-def sample_patches(gx: jnp.ndarray, gy: jnp.ndarray, lvl: jnp.ndarray,
-                   ys: jnp.ndarray, xs: jnp.ndarray,
-                   pr: int, pc: int = 256, interpret: bool = False):
-    """Bilinear-sample (gx, gy) [L, H, W] at float (ys, xs) [N, S] per-slot.
+def sample_grad_patches(gauss: jnp.ndarray, lvl: jnp.ndarray,
+                        ys: jnp.ndarray, xs: jnp.ndarray,
+                        pr: int, pc: int = 256, interpret: bool = False):
+    """Sample image gradients of `gauss` [L, H, W] at (ys, xs) [N, S].
 
-    pr: static patch rows (multiple of 8); every slot's samples must span
-    fewer than pr - 9 rows (4+4 go to nearest-8 offset alignment, 1 to
-    bilinear support).  pc: static patch cols (multiple of 128); sample
-    column span must stay under pc - 129.  Callers size both from the
-    config's worst-case support.
+    Gradients are central differences computed in-kernel from one Gaussian
+    patch per slot.  pr: static patch rows (multiple of 8); every slot's
+    samples must span fewer than pr - 9 rows (4+4 nearest-8 alignment, 1
+    bilinear support).  pc: static patch cols (multiple of 128); column
+    span under pc - 129.
     Returns (dx [N, S], dy [N, S], inb [N, S]).
     """
-    l, h, w = gx.shape
+    l, h, w = gauss.shape
     n, s = ys.shape
     assert n % _G == 0, (n, _G)
     assert pr % 8 == 0 and pc % 128 == 0, (pr, pc)
@@ -102,12 +118,11 @@ def sample_patches(gx: jnp.ndarray, gy: jnp.ndarray, lvl: jnp.ndarray,
     ys = jnp.clip(ys, 0.0, h - 1.000001)
     xs = jnp.clip(xs, 0.0, w - 1.000001)
 
-    # pad planes: width to a lane multiple >= one patch, height likewise
+    # pad the stack: width to a lane multiple >= one patch, height likewise
     hp = max((h + 7) // 8 * 8, pr)
     wp = max((w + 127) // 128 * 128, pc)
     if (hp, wp) != (h, w):
-        gx = jnp.pad(gx, ((0, 0), (0, hp - h), (0, wp - w)))
-        gy = jnp.pad(gy, ((0, 0), (0, hp - h), (0, wp - w)))
+        gauss = jnp.pad(gauss, ((0, 0), (0, hp - h), (0, wp - w)))
 
     # patch corner per slot: centred on the samples' coordinate range
     # (a mean can shift off-centre and leak the extremes past the patch),
@@ -128,7 +143,6 @@ def sample_patches(gx: jnp.ndarray, gy: jnp.ndarray, lvl: jnp.ndarray,
             pl.BlockSpec((_G, s), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[
             pl.BlockSpec((_G, s), lambda i, *_: (i, 0),
@@ -138,15 +152,14 @@ def sample_patches(gx: jnp.ndarray, gy: jnp.ndarray, lvl: jnp.ndarray,
         ],
         scratch_shapes=[
             pltpu.VMEM((_G, pr, pc), jnp.float32),
-            pltpu.VMEM((_G, pr, pc), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, _G)),
+            pltpu.SemaphoreType.DMA((_G,)),
         ],
     )
     dx, dy = pl.pallas_call(
-        functools.partial(_kernel, pr=pr, pc=pc),
+        functools.partial(_kernel, pr=pr, pc=pc, h=h, w=w),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n, s), jnp.float32),
                    jax.ShapeDtypeStruct((n, s), jnp.float32)],
         interpret=interpret,
-    )(jnp.clip(lvl, 0, l - 1), y0, x0, ry, rx, gx, gy)
+    )(jnp.clip(lvl, 0, l - 1), y0, x0, ry, rx, gauss)
     return dx, dy, inb

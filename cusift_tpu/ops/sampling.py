@@ -80,26 +80,30 @@ def bilinear_sample_pair(stack2: jnp.ndarray, lvl: jnp.ndarray,
     return v[..., 0], v[..., 1], inb
 
 
-def sample_grad_pair(gdx: jnp.ndarray, gdy: jnp.ndarray, lvl: jnp.ndarray,
+def sample_grad_pair(gauss: jnp.ndarray, lvl: jnp.ndarray,
                      ys: jnp.ndarray, xs: jnp.ndarray, *, span_rows: float,
                      method: str = "auto"):
-    """Bilinear-sample the (dx, dy) gradient planes at per-slot float coords.
+    """Bilinear-sample image gradients of `gauss` at per-slot float coords.
 
-    Dispatches between the Pallas strip-DMA kernel (ops/pallas/sampler.py —
-    ~30x faster on v5e) and the fused-gather XLA path (CPU, interpret, or
-    vmapped callers).  ``span_rows``: static upper bound on the row extent
-    of one slot's samples; sizes the Pallas strip (+10 rows: 8 for offset
-    alignment, 1 bilinear support, 1 slack).
+    Dispatches between the Pallas patch kernel (ops/pallas/sampler.py —
+    ~30x faster on v5e; computes central-difference gradients in-kernel so
+    no gradient planes ever hit HBM) and the XLA path (CPU, interpret, or
+    vmapped callers), which materialises gradient planes and uses a fused
+    4-corner gather.  ``span_rows``: static upper bound on the row/column
+    extent of one slot's samples; sizes the Pallas patch (+10 rows: 8 for
+    offset alignment, 1 bilinear support, 1 slack).
 
-    gdx, gdy: [L, H, W]; lvl: [K] int32; ys, xs: [K, S] float32.
+    gauss: [L, H, W] blurred levels; lvl: [K] int32; ys, xs: [K, S] f32.
     Returns (dx [K, S], dy [K, S], in_bounds [K, S]).
     """
     if method == "auto":
         method = "pallas" if jax.default_backend() == "tpu" else "xla"
     if method == "pallas" and ys.ndim == 2 and ys.shape[0] % 8 == 0:
-        from .pallas.sampler import sample_patches
+        from .pallas.sampler import sample_grad_patches
         pr = -(-(int(span_rows) + 10) // 8) * 8
         pc = -(-(int(span_rows) + 130) // 128) * 128
-        return sample_patches(gdx, gdy, lvl, ys, xs, pr=pr, pc=pc)
+        return sample_grad_patches(gauss, lvl, ys, xs, pr=pr, pc=pc)
+    from .gaussian import image_gradients
+    gdx, gdy = image_gradients(gauss)   # CSE'd across ori/desc inside a jit
     grad2 = jnp.stack([gdx, gdy], axis=-1)
     return bilinear_sample_pair(grad2, lvl, ys, xs)

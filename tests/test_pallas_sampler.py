@@ -1,0 +1,72 @@
+"""Pallas gradient-patch sampler vs the XLA fused-gather path.
+
+Runs the kernel in interpreter mode on CPU (the compiled path is exercised
+on real TPU by bench.py and was verified bit-identical on descriptors).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cusift_tpu.ops.gaussian import image_gradients
+from cusift_tpu.ops.sampling import bilinear_sample_pair
+from cusift_tpu.ops.pallas.sampler import sample_grad_patches
+
+
+def _setup(rng, L=4, H=96, W=160, N=16, S=144, spread=15.0):
+    gauss = jnp.asarray(rng.normal(size=(L, H, W)).astype(np.float32))
+    lvl = jnp.asarray(rng.integers(0, L, N).astype(np.int32))
+    cy = rng.uniform(0, H, N).astype(np.float32)
+    cx = rng.uniform(0, W, N).astype(np.float32)
+    ys = jnp.asarray(cy[:, None] + rng.uniform(-spread, spread, (N, S)).astype(np.float32))
+    xs = jnp.asarray(cx[:, None] + rng.uniform(-spread, spread, (N, S)).astype(np.float32))
+    return gauss, lvl, ys, xs
+
+
+def _xla_reference(gauss, lvl, ys, xs):
+    gdx, gdy = image_gradients(gauss)
+    return bilinear_sample_pair(jnp.stack([gdx, gdy], -1), lvl, ys, xs)
+
+
+def test_matches_xla_path(rng):
+    gauss, lvl, ys, xs = _setup(rng)
+    dx_r, dy_r, inb_r = _xla_reference(gauss, lvl, ys, xs)
+    dx, dy, inb = sample_grad_patches(gauss, lvl, ys, xs, pr=48,
+                                      interpret=True)
+    m = np.asarray(inb_r)
+    np.testing.assert_array_equal(np.asarray(inb), m)
+    np.testing.assert_allclose(np.asarray(dx)[m], np.asarray(dx_r)[m],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dy)[m], np.asarray(dy_r)[m],
+                               atol=1e-5)
+
+
+def test_small_level_padding(rng):
+    # levels smaller than one patch must be padded, not crash
+    gauss, lvl, ys, xs = _setup(rng, L=2, H=24, W=40, N=8, S=36, spread=6.0)
+    dx_r, dy_r, inb_r = _xla_reference(gauss, lvl, ys, xs)
+    dx, dy, inb = sample_grad_patches(gauss, lvl, ys, xs, pr=32,
+                                      interpret=True)
+    m = np.asarray(inb_r)
+    np.testing.assert_allclose(np.asarray(dx)[m], np.asarray(dx_r)[m],
+                               atol=1e-5)
+
+
+def test_border_gradients_zero(rng):
+    # samples exactly on the first/last row/col see zero gradients
+    gauss = jnp.asarray(rng.normal(size=(1, 64, 128)).astype(np.float32))
+    n, s = 8, 16
+    ys = jnp.concatenate([jnp.zeros((n // 2, s)),
+                          jnp.full((n // 2, s), 63.0)])
+    xs = jnp.tile(jnp.linspace(1.0, 126.0, s)[None, :], (n, 1))
+    lvl = jnp.zeros(n, jnp.int32)
+    dx, dy, inb = sample_grad_patches(gauss, lvl, ys, xs, pr=32,
+                                      interpret=True)
+    assert bool(np.asarray(inb).all())
+    np.testing.assert_allclose(np.asarray(dy), 0.0, atol=1e-6)
+
+
+def test_capacity_assertion(rng):
+    gauss, lvl, ys, xs = _setup(rng, N=12)  # not a multiple of 8
+    with pytest.raises(AssertionError):
+        sample_grad_patches(gauss, lvl, ys, xs, pr=48, interpret=True)

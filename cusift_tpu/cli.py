@@ -88,16 +88,17 @@ def cmd_slam(args):
                 ransac_cfg=RansacConfig(inlier_thresh_3d=0.03),
                 slam_cfg=SlamConfig(checkpoint_every=args.checkpoint_every))
     t0 = time.time()
-    n_frames = 0
-    for item in frames:
-        img, depth = (item.image, item.depth) if hasattr(item, "image") else item
-        rec = slam.process_frame(img, depth)
-        n_frames += 1
-        if writer:
+
+    def as_pairs(items):
+        for item in items:
+            yield ((item.image, item.depth)
+                   if hasattr(item, "image") else item)
+
+    slam.run(as_pairs(frames))   # pipelined uploads (utils/pipeline.py)
+    n_frames = len(slam.metrics)
+    if writer:
+        for rec in slam.metrics:
             writer.write(rec)
-        if n_frames % 10 == 0:
-            print(f"frame {n_frames}: kpts={rec['kpts']} inliers={rec['inliers']} "
-                  f"kf={slam.state.n_kf} loops={slam.state.n_closures}")
     dt = time.time() - t0
     print(f"processed {n_frames} frames in {dt:.1f}s "
           f"({n_frames / dt:.2f} frames/s incl. compile); "

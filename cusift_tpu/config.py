@@ -67,6 +67,10 @@ class SiftConfig:
     # gradient patch sampler backend: "auto" (Pallas on TPU, XLA gather
     # elsewhere), "pallas", or "xla"
     sampler: str = "auto"
+    # fused octave kernel (blur+DoG+extrema score in one Pallas pass):
+    # "auto" (currently XLA — its fused conv chain is already near
+    # memory-bound on v5e), "pallas", or "xla"
+    fused_pyramid: str = "auto"
 
     dtype: str = "float32"
 

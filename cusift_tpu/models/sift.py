@@ -18,10 +18,10 @@ import jax.numpy as jnp
 
 from ..config import SiftConfig
 from ..ops.describe import compact_slots, descriptors
-from ..ops.detect import detect_octave
-from ..ops.keypoints import Keypoints
+from ..ops.detect import detect_from_score, extrema_score
+from ..ops.gaussian import downsample2
 from ..ops.orientation import dominant_orientations, orientation_histograms
-from ..ops.pyramid import build_pyramid
+from ..ops.pyramid import initial_level, octave_levels
 
 
 class SiftFeatures(NamedTuple):
@@ -76,24 +76,57 @@ def _topk(feats: SiftFeatures, n: int) -> SiftFeatures:
     return out._replace(valid=valid)
 
 
+def _octave_planes(img: jnp.ndarray, cfg: SiftConfig):
+    """Per octave: (sample_levels [S,H,W], dog [S+2,H,W], score [S,H,W]).
+
+    On TPU the fused Pallas octave kernel (ops/pallas/octave.py) computes
+    all three in one pass over the base level; elsewhere (or for octaves
+    too small for its halo) the XLA blur chain + dense extremum test is
+    used.  Both paths share the initial-level and seed conventions.
+    """
+    fused = cfg.fused_pyramid
+    if fused == "auto":
+        # measured on v5e: XLA's fused shifted-add convolutions are already
+        # near memory-bound (2.5 vs 3.0 ms/octave at 960x1280), so the
+        # Pallas octave kernel stays opt-in until its banded-matmul x-conv
+        # variant lands
+        fused = "xla"
+
+    s_ = cfg.scales_per_octave
+    n_oct = cfg.num_octaves_for(*img.shape)
+    base = initial_level(img, cfg)
+    out = []
+    for _ in range(n_oct):
+        h, w = base.shape
+        if fused == "pallas" and min(h, w) >= 64 and base.ndim == 2:
+            from ..ops.pallas.octave import fused_octave
+            samp, dog, score = fused_octave(base, cfg, h, w)
+        else:
+            levels = octave_levels(base, cfg)
+            gauss = jnp.stack(levels)
+            dog = gauss[1:] - gauss[:-1]
+            samp = gauss[1:s_ + 1]
+            score = extrema_score(dog, cfg)
+        out.append((samp, dog, score))
+        base = downsample2(samp[s_ - 1])   # level S carries 2x sigma0 blur
+    return out
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def extract(img: jnp.ndarray, cfg: SiftConfig = SiftConfig()) -> SiftFeatures:
     """SIFT features of a [H, W] grayscale image in [0, 1].
 
     Returns a SiftFeatures buffer of static capacity cfg.total_kpts.
     """
-    octaves = build_pyramid(img, cfg)
     parts = []
-    for oi, oct_ in enumerate(octaves):
-        kps = detect_octave(oct_, oi, cfg)
-        # keypoints only live on DoG levels 1..S — pass only those levels
-        # (the sampler computes gradients itself; SURVEY.md C9-C10)
-        s_ = cfg.scales_per_octave
-        glevels = oct_.gauss[1:s_ + 1]
-        hist = orientation_histograms(glevels, kps, cfg, level_base=1)
+    for oi, (samp, dog, score) in enumerate(_octave_planes(img, cfg)):
+        kps = detect_from_score(dog, score, oi, cfg)
+        # keypoints only live on DoG levels 1..S, which is exactly the
+        # sampler-level stack (the sampler computes gradients itself)
+        hist = orientation_histograms(samp, kps, cfg, level_base=1)
         theta, ok = dominant_orientations(hist, cfg)
         slots = compact_slots(kps, theta, ok, cfg.desc_slots(oi))
-        desc, slot_valid = descriptors(glevels, slots, cfg, level_base=1)
+        desc, slot_valid = descriptors(samp, slots, cfg, level_base=1)
         parts.append(_features_from(slots, desc, slot_valid))
     return _topk(_concat(parts), cfg.total_kpts)
 

@@ -136,14 +136,27 @@ def _refine_batch(dog: jnp.ndarray, lvl, y, x, cfg: SiftConfig,
     return xo, yo, so, lvl, contrast, edgeness, valid
 
 
+def extrema_score(dog: jnp.ndarray, cfg: SiftConfig) -> jnp.ndarray:
+    """[S, H, W] candidate score: |DoG| at prefiltered extrema, else -inf."""
+    prefilter = 0.5 * cfg.contrast_thresh / cfg.scales_per_octave
+    mask = _extrema_mask(dog, prefilter)                       # [S, H, W]
+    return jnp.where(mask, jnp.abs(dog[1:-1]), -jnp.inf)
+
+
 def detect_octave(oct_: Octave, octave_idx: int, cfg: SiftConfig) -> Keypoints:
     """All keypoints of one octave, compacted to cfg.kpt_budget(octave)."""
-    dog = oct_.dog  # [S+2, H, W]
-    s, h, w = dog.shape
-    prefilter = 0.5 * cfg.contrast_thresh / cfg.scales_per_octave
+    return detect_from_score(oct_.dog, extrema_score(oct_.dog, cfg),
+                             octave_idx, cfg)
 
-    mask = _extrema_mask(dog, prefilter)                       # [S, H, W]
-    score = jnp.where(mask, jnp.abs(dog[1:-1]), -jnp.inf)
+
+def detect_from_score(dog: jnp.ndarray, score: jnp.ndarray,
+                      octave_idx: int, cfg: SiftConfig) -> Keypoints:
+    """Compaction + refinement from a precomputed extrema score.
+
+    `score` may come from `extrema_score` (XLA path) or from the fused
+    Pallas octave kernel (ops/pallas/octave.py), which emits it directly.
+    """
+    s, h, w = dog.shape
     k = cfg.kpt_budget(octave_idx)
     if cfg.approx_topk:
         # TPU-optimised partial reduction; exact top-k costs a full sort of

@@ -1,0 +1,192 @@
+"""Fused octave kernel: multi-scale blur + DoG + extrema score in one pass.
+
+Reference analog: the ``LaplaceMulti`` CUDA kernel (SURVEY.md C7, hot loop
+#1) computes all blur levels and DoG planes of one octave with
+shared-memory row caches; ``FindPointsMulti``'s dense extremum test (C8)
+follows as a second kernel.  The XLA form pays an HBM round-trip per
+separable-conv pass (~24 passes/octave) plus another for the 26-neighbour
+test.  This kernel streams the octave base once:
+
+  * grid over row tiles; each step DMAs one base tile (+ halo) into VMEM;
+  * every level is blurred DIRECTLY from the base with total-sigma taps
+    (sqrt(sig_i^2 - sig_0^2)) — ~35% more VPU FMAs than the incremental
+    chain but half the halo and no level-to-level serialisation, and VPU
+    FLOPs are free relative to HBM here;
+  * DoG planes and the strict 26-neighbour extrema score (contrast
+    prefilter included, borders zeroed) are computed in-register from the
+    still-resident levels;
+  * only what downstream needs leaves the chip: DoG (refinement cubes),
+    Gaussian levels 1..S (the gradient sampler's input), and the score
+    (feeds approx_max_k directly).
+
+The caller pre-pads the base with reflect-101 borders (matching
+cv2.GaussianBlur / the XLA path) so the kernel does pure valid-region
+arithmetic at static offsets.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..gaussian import gaussian_taps
+
+_TR = 48  # output rows per grid step
+
+
+def _plan(cfg, h: int, w: int):
+    """Static geometry: taps per level, paddings, tile counts."""
+    sig = cfg.sigmas()                      # absolute blur per level
+    taps = []
+    for i in range(1, cfg.levels_per_octave):
+        sd = math.sqrt(max(sig[i] ** 2 - sig[0] ** 2, 1e-12))
+        taps.append(gaussian_taps(sd))
+    rmax = max((t.shape[0] - 1) // 2 for t in taps)
+    rp = rmax + 1                            # +1: extrema needs a DoG halo
+    rp = (rp + 3) // 4 * 4                   # 2*rp on the sublane grid, so
+                                             # tile height stays a mult of 8
+    wv = max((w + 127) // 128 * 128, 128)    # output plane width
+    wp = (wv + 2 * rp + 2 + 127) // 128 * 128
+    n_tiles = (h + _TR - 1) // _TR
+    return taps, rp, wv, wp, n_tiles
+
+
+def _kernel(base_ref, samp_ref, dog_ref, score_ref, tile, acc, levs, sem,
+            *, taps, rp, tr, h, w, wv, s, prefilter):
+    i = pl.program_id(0)
+
+    cp = pltpu.make_async_copy(
+        base_ref.at[pl.ds(pl.multiple_of(i * tr, 8), tr + 2 * rp), :],
+        tile, sem)
+    cp.start()
+    cp.wait()
+
+    # level frame: rows [-1, tr+1), cols [-1, wv+1) rel. the output tile
+    hv2, wv2 = tr + 2, wv + 2
+
+    # level 0 = base slice; levels 1.. = separable blur of the base tile.
+    # Accumulate through VMEM scratch refs one tap at a time — keeping the
+    # whole unrolled add tree as live vector values blows the 16 MB VMEM
+    # stack (43 MB at 1280 width).
+    levs[0, :hv2, :wv2] = tile[rp - 1: rp - 1 + hv2,
+                               rp - 1: rp - 1 + wv2]
+    for li, tp in enumerate(taps, start=1):
+        r = (tp.shape[0] - 1) // 2
+        wgts = tp.tolist()
+
+        def conv_terms(load, n2):
+            """Symmetric-tap terms: w_k (x_k + x_{2r-k}) — halves the FMAs.
+
+            Yields expression-tree chunks so the live vector set stays
+            bounded (a fully unrolled tree blew the VMEM stack)."""
+            terms = [jnp.float32(wgts[r]) * load(r)]
+            for k in range(r):
+                terms.append(jnp.float32(wgts[k]) * (load(k) + load(2 * r - k)))
+            chunk = None
+            for n, t_ in enumerate(terms):
+                chunk = t_ if chunk is None else chunk + t_
+                if (n + 1) % 8 == 0:
+                    yield chunk
+                    chunk = None
+            if chunk is not None:
+                yield chunk
+
+        y0 = rp - 1 - r
+        first = True
+        for c in conv_terms(lambda k: tile[y0 + k: y0 + k + hv2, :], hv2):
+            acc[:, :] = c if first else acc[:, :] + c
+            first = False
+        x0 = rp - 1 - r
+        first = True
+        for c in conv_terms(lambda k: acc[:, x0 + k: x0 + k + wv2], wv2):
+            levs[li, :hv2, :wv2] = c if first else levs[li, :hv2, :wv2] + c
+            first = False
+
+    # outputs: sampler levels 1..s and all DoG planes
+    for j in range(1, s + 1):
+        samp_ref[j - 1] = levs[j, 1:hv2 - 1, 1:wv2 - 1]
+    for k in range(s + 2):
+        dog_ref[k] = (levs[k + 1, 1:hv2 - 1, 1:wv2 - 1]
+                      - levs[k, 1:hv2 - 1, 1:wv2 - 1])
+
+    # strict 26-neighbour extrema score for DoG levels 1..s
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tr, wv), 0) + i * tr
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tr, wv), 1)
+    interior = ((rows > 0) & (rows < h - 1) &
+                (cols > 0) & (cols < w - 1))
+    for j in range(1, s + 1):
+        wmax = None
+        wmin = None
+        for dz in (j - 1, j, j + 1):
+            d = levs[dz + 1, :hv2, :wv2] - levs[dz, :hv2, :wv2]
+            for dy in range(3):
+                for dx in range(3):
+                    v = d[dy: dy + tr, dx: dx + wv]
+                    wmax = v if wmax is None else jnp.maximum(wmax, v)
+                    wmin = v if wmin is None else jnp.minimum(wmin, v)
+        c = (levs[j + 1, 1:hv2 - 1, 1:wv2 - 1]
+             - levs[j, 1:hv2 - 1, 1:wv2 - 1])
+        is_max = (c >= wmax) & (c > prefilter)
+        is_min = (c <= wmin) & (c < -prefilter)
+        ok = (is_max | is_min) & interior
+        score_ref[j - 1] = jnp.where(ok, jnp.abs(c), -jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "h", "w", "interpret"))
+def fused_octave(base: jnp.ndarray, cfg, h: int, w: int,
+                 interpret: bool = False):
+    """One octave from its base level [H, W] (already at sigma0).
+
+    Returns (sample_levels [S, H, W], dog [S+2, H, W], score [S, H, W])
+    where score holds |DoG| at strict interior 26-neighbour extrema that
+    clear the contrast prefilter, and -inf elsewhere.
+    """
+    s = cfg.scales_per_octave
+    prefilter = 0.5 * cfg.contrast_thresh / s
+    taps, rp, wv, wp, n_tiles = _plan(cfg, h, w)
+    hp = n_tiles * _TR + 2 * rp
+
+    # reflect-101 only up to rp (reflect pads must stay < dim); the tile
+    # overhang past the last image row is zero-filled and never read back
+    # (outputs are sliced to [:h, :w])
+    pad_r = jnp.pad(base, ((rp, rp), (rp, rp)), mode="reflect")
+    pad_r = jnp.pad(pad_r, ((0, hp - h - 2 * rp), (0, wp - w - 2 * rp)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=[
+            pl.BlockSpec((s, _TR, wv), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s + 2, _TR, wv), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, _TR, wv), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_TR + 2 * rp, wp), jnp.float32),
+            pltpu.VMEM((_TR + 2, wp), jnp.float32),
+            pltpu.VMEM((cfg.levels_per_octave, _TR + 2,
+                        (wv + 2 + 127) // 128 * 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    samp, dog, score = pl.pallas_call(
+        functools.partial(_kernel, taps=taps, rp=rp, tr=_TR, h=h, w=w,
+                          wv=wv, s=s, prefilter=prefilter),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((s, n_tiles * _TR, wv), jnp.float32),
+            jax.ShapeDtypeStruct((s + 2, n_tiles * _TR, wv), jnp.float32),
+            jax.ShapeDtypeStruct((s, n_tiles * _TR, wv), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pad_r)
+    return samp[:, :h, :w], dog[:, :h, :w], score[:, :h, :w]

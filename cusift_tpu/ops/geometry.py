@@ -11,6 +11,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 from cusift_tpu.utils.precision import f32_matmuls
 
+from .mat3 import inv3, solve_spd
+
 
 @f32_matmuls
 def apply_homography(h: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
@@ -62,9 +64,9 @@ def solve_homography(pa: jnp.ndarray, pb: jnp.ndarray, w: jnp.ndarray) -> jnp.nd
     ww = jnp.concatenate([w, w], 0)[:, None]
     ata = (a * ww).T @ a + 1e-10 * jnp.eye(8)
     atb = (a * ww).T @ b
-    h8 = jnp.linalg.solve(ata, atb)
+    h8 = solve_spd(ata, atb)   # unrolled Cholesky: vmaps as pure VPU math
     hn = jnp.concatenate([h8, jnp.ones(1)]).reshape(3, 3)
-    h = jnp.linalg.inv(tb) @ hn @ ta
+    h = inv3(tb) @ hn @ ta   # closed-form adjugate, no LU
     return h / jnp.where(jnp.abs(h[2, 2]) > 1e-12, h[2, 2], 1e-12)
 
 

@@ -87,7 +87,8 @@ def _kernel(lvl_ref, y0_ref, x0_ref,          # scalar prefetch [N]
         wyt = jnp.maximum(0.0, 1.0 - jnp.abs(ry[None, :] - rowi))  # [PR, S]
         wxt = jnp.maximum(0.0, 1.0 - jnp.abs(rx[None, :] - coli))  # [PC, S]
         # HIGHEST precision: a default bf16 MXU pass costs ~5e-3 absolute
-        # in the sampled gradients, visibly degrading descriptor quality.
+        # in the sampled gradients, visibly degrading descriptor quality
+        # (Mosaic rejects the cheaper bf16x3 HIGH mode in-kernel).
         bx = jnp.dot(gx, wxt, precision=jax.lax.Precision.HIGHEST,
                      preferred_element_type=jnp.float32)       # [PR, S]
         by = jnp.dot(gy, wxt, precision=jax.lax.Precision.HIGHEST,

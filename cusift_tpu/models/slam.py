@@ -83,6 +83,27 @@ def _frame_step(img, depth, intr, ref_desc, ref_valid, ref_pts,
     return f, pts, packed
 
 
+@partial(jax.jit, static_argnames=("sift_cfg", "match_cfg", "ransac_cfg"))
+def _chunk_step(frames, intr, ref_desc, ref_valid, ref_pts,
+                sift_cfg: SiftConfig, match_cfg: MatchConfig,
+                ransac_cfg: RansacConfig, keys):
+    """Track a [N, 2, H, W] frame chunk against ONE reference keyframe.
+
+    vmap of _frame_step: one dispatch and ONE packed [N, 22] fetch per N
+    frames, amortising the per-fetch tunnel round-trip (~38 ms) that
+    otherwise floors the per-frame SLAM cost.  The trade: keyframe
+    promotions are replayed on the host after the fetch, so frames later
+    in a chunk track against a (<= N-1 frames) older reference — still
+    geometrically consistent, because each trajectory entry records which
+    reference its relative pose is measured against.
+    """
+    def one(fr, k):
+        return _frame_step(fr[0], fr[1], intr, ref_desc, ref_valid, ref_pts,
+                           sift_cfg, match_cfg, ransac_cfg, k)
+
+    return jax.vmap(one)(frames, keys)
+
+
 @jax.jit
 def _kf_scores(query_desc, query_valid, kf_desc, kf_valid, kf_active):
     """[MAXKF] similarity of a query frame to every stored keyframe.
@@ -280,7 +301,8 @@ class Slam:
             self.checkpoint(f"slam_ckpt_{s.n_kf:04d}.npz")
         return rec
 
-    def run(self, frames, max_frames: int | None = None) -> list[dict]:
+    def run(self, frames, max_frames: int | None = None,
+            chunk: int = 1) -> list[dict]:
         """Process an iterable of (img, depth) pairs, fully pipelined.
 
         Uploads of frame i+1 run on a feeder thread during frame i's device
@@ -289,7 +311,13 @@ class Slam:
         process_frame with host arrays.  (Dispatching frame i+1 before
         fetching frame i's scalars was tried and is *slower* here: the
         tunnel serialises the fetch behind the speculated execution.)
+
+        chunk > 1 tracks N frames per dispatch with ONE scalar fetch
+        (see _chunk_step): ~chunk-fold fewer host round-trips at the cost
+        of keyframe decisions lagging by up to chunk-1 frames.
         """
+        if chunk > 1:
+            return self._run_chunked(frames, max_frames, chunk)
         from ..utils.pipeline import device_frames
         for i, f in enumerate(device_frames(frames)):
             if max_frames is not None and i >= max_frames:
@@ -298,6 +326,38 @@ class Slam:
                 self._bootstrap(f[0], f[1])
                 continue
             self._commit(*self._dispatch(f[0], f[1]))
+        return self.metrics
+
+    def _run_chunked(self, frames, max_frames, chunk: int) -> list[dict]:
+        from ..utils.pipeline import device_chunks
+        import itertools
+
+        it = iter(frames)
+        if self.state.n_kf == 0:
+            first = next(it, None)
+            if first is None:
+                return self.metrics
+            self._bootstrap(jnp.asarray(first[0]), jnp.asarray(first[1]))
+            if max_frames is not None:
+                max_frames -= 1
+
+        done = 0
+        for fchunk, n_valid in device_chunks(it, chunk):
+            if max_frames is not None:
+                n_valid = min(n_valid, max_frames - done)
+                if n_valid <= 0:
+                    break
+            ref, kd, kv, kp = self._ref_cache
+            keys = jax.random.split(self._next_key(), chunk)
+            feats, pts, packed = _chunk_step(
+                fchunk, self.intr, kd, kv, kp, self.sift_cfg,
+                self.match_cfg, self.ransac_cfg, keys)
+            packed_np = np.asarray(packed)           # the one fetch
+            for i in range(n_valid):
+                f_i = jax.tree.map(lambda a: a[i], feats)
+                p_i = pts[i]
+                self._commit(f_i, p_i, packed_np[i], ref)
+            done += n_valid
         return self.metrics
 
     def _try_loop_closure(self, j, desc, valid, pts) -> bool:

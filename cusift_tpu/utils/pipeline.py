@@ -57,3 +57,37 @@ def device_frames(frames: Iterable, prefetch: int = 2) -> Iterator:
         if item is stop:
             return
         yield item
+
+
+def device_chunks(frames: Iterable, chunk: int, prefetch: int = 2) -> Iterator:
+    """Yield device-resident [n, 2, H, W] chunks (n <= chunk), prefetched.
+
+    The final chunk is padded by repeating its last frame so every dispatch
+    sees the same static shape; the true frame count is returned alongside.
+    Yields (chunk_array, n_valid).
+    """
+    q: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
+    stop = object()
+
+    def worker():
+        try:
+            buf = []
+            for img, depth in frames:
+                buf.append(pack_frame(img, depth))
+                if len(buf) == chunk:
+                    q.put((jax.device_put(np.stack(buf)), chunk))
+                    buf = []
+            if buf:
+                n = len(buf)
+                buf = buf + [buf[-1]] * (chunk - n)
+                q.put((jax.device_put(np.stack(buf)), n))
+        finally:
+            q.put(stop)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            return
+        yield item

@@ -65,3 +65,21 @@ def test_slam_checkpoint_resume(tmp_path, seq):
     # resumed instance keeps tracking
     rec = slam2.process_frame(seq.images[4], seq.depths[4])
     assert rec["tracked"]
+
+
+def test_chunked_run_matches_sequential():
+    """chunk>1 tracking must stay geometrically consistent (same ATE)."""
+    seq = planar_rgbd_sequence(10, 240, 320, motion_scale=0.5, seed=4)
+
+    def build():
+        return Slam(seq.intr, sift_cfg=SIFT,
+                    slam_cfg=SlamConfig(max_keyframes=16))
+
+    s1 = build()
+    s1.run(((seq.images[i], seq.depths[i]) for i in range(10)), chunk=1)
+    s3 = build()
+    s3.run(((seq.images[i], seq.depths[i]) for i in range(10)), chunk=3)
+    ate1 = s1.ate(seq.poses_r, seq.poses_t)
+    ate3 = s3.ate(seq.poses_r, seq.poses_t)
+    assert len(s3.metrics) == 10
+    assert ate1 < 0.05 and ate3 < 0.05, (ate1, ate3)

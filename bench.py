@@ -101,7 +101,7 @@ def main():
     bsz = args.batch
     if bsz:
         frames = [warped_pair(h, w, seed=s, blobs=800, detail=0.25)
-                  for s in range(bsz // 2)]
+                  for s in range((bsz + 1) // 2)]
         stack = []
         for a, b, _ in frames:
             stack.extend([a, b])

@@ -94,11 +94,17 @@ def cmd_slam(args):
             yield ((item.image, item.depth)
                    if hasattr(item, "image") else item)
 
+    def on_metric(rec):      # streamed, so interrupted runs keep metrics
+        if writer:
+            writer.write(rec)
+        if (rec["frame"] + 1) % 10 == 0:
+            print(f"frame {rec['frame'] + 1}: kpts={rec['kpts']} "
+                  f"inliers={rec['inliers']} kf={slam.state.n_kf} "
+                  f"loops={slam.state.n_closures}")
+
+    slam.on_metric = on_metric
     slam.run(as_pairs(frames))   # pipelined uploads (utils/pipeline.py)
     n_frames = len(slam.metrics)
-    if writer:
-        for rec in slam.metrics:
-            writer.write(rec)
     dt = time.time() - t0
     print(f"processed {n_frames} frames in {dt:.1f}s "
           f"({n_frames / dt:.2f} frames/s incl. compile); "

@@ -171,6 +171,10 @@ class Slam:
             edge_i=[], edge_j=[], meas_r=[], meas_t=[], weight=[],
             traj_ref=[], traj_rel_r=[], traj_rel_t=[], traj_ok=[])
         self.metrics: list[dict] = []
+        # optional per-frame callback (e.g. streaming JSONL metrics); called
+        # with each record as soon as it is committed, so long runs keep
+        # their observability even if interrupted
+        self.on_metric = None
 
     # ---------- keyframe management ----------
 
@@ -231,6 +235,8 @@ class Slam:
         rec = {"frame": 0, "kpts": int(feats.count), "matches": 0,
                "inliers": 0, "keyframe": True, "loop": False}
         self.metrics.append(rec)
+        if self.on_metric:
+            self.on_metric(rec)
         return rec
 
     def _dispatch(self, img, depth):
@@ -260,9 +266,13 @@ class Slam:
         tracked = bool(packed[1]) and inl >= self.cfg.track_min_inliers
 
         if not tracked:
-            # tracking lost: assume no motion relative to reference keyframe
+            # tracking lost: copy the previous frame's relative pose AND its
+            # reference — in chunked runs `ref` may be stale (a keyframe
+            # promoted earlier in the chunk), and the copied pose is only
+            # meaningful against the reference it was measured from
             rel_r = np.asarray(s.traj_rel_r[-1])
             rel_t = np.asarray(s.traj_rel_t[-1])
+            ref = int(s.traj_ref[-1])
 
         trans_mag = float(np.linalg.norm(xi[:3]))
         rot_mag = float(np.linalg.norm(xi[3:]))
@@ -296,6 +306,8 @@ class Slam:
                "keyframe": bool(need_kf), "loop": bool(loop_found),
                "tracked": tracked}
         self.metrics.append(rec)
+        if self.on_metric:
+            self.on_metric(rec)
         if (self.cfg.checkpoint_every
                 and s.n_kf % self.cfg.checkpoint_every == 0):
             self.checkpoint(f"slam_ckpt_{s.n_kf:04d}.npz")
@@ -330,9 +342,10 @@ class Slam:
 
     def _run_chunked(self, frames, max_frames, chunk: int) -> list[dict]:
         from ..utils.pipeline import device_chunks
-        import itertools
 
         it = iter(frames)
+        if max_frames is not None and max_frames <= 0:
+            return self.metrics
         if self.state.n_kf == 0:
             first = next(it, None)
             if first is None:

@@ -31,7 +31,6 @@ import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -80,7 +79,7 @@ def _kernel(base_ref, samp_ref, dog_ref, score_ref, tile, acc, levs, sem,
         r = (tp.shape[0] - 1) // 2
         wgts = tp.tolist()
 
-        def conv_terms(load, n2):
+        def conv_terms(load):
             """Symmetric-tap terms: w_k (x_k + x_{2r-k}) — halves the FMAs.
 
             Yields expression-tree chunks so the live vector set stays
@@ -99,12 +98,12 @@ def _kernel(base_ref, samp_ref, dog_ref, score_ref, tile, acc, levs, sem,
 
         y0 = rp - 1 - r
         first = True
-        for c in conv_terms(lambda k: tile[y0 + k: y0 + k + hv2, :], hv2):
+        for c in conv_terms(lambda k: tile[y0 + k: y0 + k + hv2, :]):
             acc[:, :] = c if first else acc[:, :] + c
             first = False
         x0 = rp - 1 - r
         first = True
-        for c in conv_terms(lambda k: acc[:, x0 + k: x0 + k + wv2], wv2):
+        for c in conv_terms(lambda k: acc[:, x0 + k: x0 + k + wv2]):
             levs[li, :hv2, :wv2] = c if first else levs[li, :hv2, :wv2] + c
             first = False
 

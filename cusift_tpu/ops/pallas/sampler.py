@@ -105,9 +105,10 @@ def sample_grad_patches(gauss: jnp.ndarray, lvl: jnp.ndarray,
 
     Gradients are central differences computed in-kernel from one Gaussian
     patch per slot.  pr: static patch rows (multiple of 8); every slot's
-    samples must span fewer than pr - 9 rows (4+4 nearest-8 alignment, 1
-    bilinear support).  pc: static patch cols (multiple of 128); column
-    span under pc - 129.
+    samples must span fewer than pr - 11 rows (4+4 nearest-8 alignment,
+    1 bilinear support, 1 per side so the central difference never reads
+    the wrapped patch-edge lanes).  pc: static patch cols (multiple of
+    128); column span under pc - 131.
     Returns (dx [N, S], dy [N, S], inb [N, S]).
     """
     l, h, w = gauss.shape

@@ -90,8 +90,9 @@ def sample_grad_pair(gauss: jnp.ndarray, lvl: jnp.ndarray,
     no gradient planes ever hit HBM) and the XLA path (CPU, interpret, or
     vmapped callers), which materialises gradient planes and uses a fused
     4-corner gather.  ``span_rows``: static upper bound on the row/column
-    extent of one slot's samples; sizes the Pallas patch (+10 rows: 8 for
-    offset alignment, 1 bilinear support, 1 slack).
+    extent of one slot's samples; sizes the Pallas patch (+12 rows: 8 for
+    offset alignment, 1 bilinear support, 1 per side for the in-kernel
+    central difference, 1 slack).
 
     gauss: [L, H, W] blurred levels; lvl: [K] int32; ys, xs: [K, S] f32.
     Returns (dx [K, S], dy [K, S], in_bounds [K, S]).
@@ -100,8 +101,8 @@ def sample_grad_pair(gauss: jnp.ndarray, lvl: jnp.ndarray,
         method = "pallas" if jax.default_backend() == "tpu" else "xla"
     if method == "pallas" and ys.ndim == 2 and ys.shape[0] % 8 == 0:
         from .pallas.sampler import sample_grad_patches
-        pr = -(-(int(span_rows) + 10) // 8) * 8
-        pc = -(-(int(span_rows) + 130) // 128) * 128
+        pr = -(-(int(span_rows) + 12) // 8) * 8
+        pc = -(-(int(span_rows) + 132) // 128) * 128
         return sample_grad_patches(gauss, lvl, ys, xs, pr=pr, pc=pc)
     from .gaussian import image_gradients
     gdx, gdy = image_gradients(gauss)   # CSE'd across ori/desc inside a jit

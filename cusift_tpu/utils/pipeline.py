@@ -32,31 +32,41 @@ def pack_frame(img: np.ndarray, depth: np.ndarray | None) -> np.ndarray:
                      np.asarray(depth, np.float32)])
 
 
-def device_frames(frames: Iterable, prefetch: int = 2) -> Iterator:
-    """Yield device-resident packed frames, uploading ahead of consumption.
+def _prefetched(produce, prefetch: int) -> Iterator:
+    """Drain `produce(emit)` through a bounded queue fed by a daemon thread.
 
-    ``frames``: iterable of (img, depth) numpy pairs (depth may be None).
-    Uploads run on a daemon thread with a bounded queue so at most
-    ``prefetch`` frames are in flight — upload latency overlaps the
-    consumer's compute instead of serialising with it.
+    `produce` is called with an `emit(item)` callback; emitted items are
+    yielded in order while at most `prefetch` of them are in flight, so
+    upload latency overlaps the consumer's compute.
     """
     q: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
     stop = object()
 
     def worker():
         try:
-            for img, depth in frames:
-                q.put(jax.device_put(pack_frame(img, depth)))
+            produce(q.put)
         finally:
             q.put(stop)
 
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
+    threading.Thread(target=worker, daemon=True).start()
     while True:
         item = q.get()
         if item is stop:
             return
         yield item
+
+
+def device_frames(frames: Iterable, prefetch: int = 2) -> Iterator:
+    """Yield device-resident packed frames, uploading ahead of consumption.
+
+    ``frames``: iterable of (img, depth) numpy pairs (depth may be None).
+    """
+
+    def produce(emit):
+        for img, depth in frames:
+            emit(jax.device_put(pack_frame(img, depth)))
+
+    return _prefetched(produce, prefetch)
 
 
 def device_chunks(frames: Iterable, chunk: int, prefetch: int = 2) -> Iterator:
@@ -66,28 +76,17 @@ def device_chunks(frames: Iterable, chunk: int, prefetch: int = 2) -> Iterator:
     sees the same static shape; the true frame count is returned alongside.
     Yields (chunk_array, n_valid).
     """
-    q: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
-    stop = object()
 
-    def worker():
-        try:
-            buf = []
-            for img, depth in frames:
-                buf.append(pack_frame(img, depth))
-                if len(buf) == chunk:
-                    q.put((jax.device_put(np.stack(buf)), chunk))
-                    buf = []
-            if buf:
-                n = len(buf)
-                buf = buf + [buf[-1]] * (chunk - n)
-                q.put((jax.device_put(np.stack(buf)), n))
-        finally:
-            q.put(stop)
+    def produce(emit):
+        buf = []
+        for img, depth in frames:
+            buf.append(pack_frame(img, depth))
+            if len(buf) == chunk:
+                emit((jax.device_put(np.stack(buf)), chunk))
+                buf = []
+        if buf:
+            n = len(buf)
+            buf = buf + [buf[-1]] * (chunk - n)
+            emit((jax.device_put(np.stack(buf)), n))
 
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
-        if item is stop:
-            return
-        yield item
+    return _prefetched(produce, prefetch)

@@ -96,3 +96,32 @@ def test_fused_octave_matches_xla(rng, test_image):
     np.testing.assert_array_equal(np.isfinite(sm), np.isfinite(sr))
     m = np.isfinite(sm)
     np.testing.assert_allclose(sm[m], sr[m], atol=2e-5)
+
+
+def test_span_limit_margin(rng):
+    """Samples at the documented span limit must not read wrapped lanes.
+
+    Regression: the in-kernel central difference needs one extra row/col of
+    patch margin beyond bilinear support; with the old +10 sizing, hat
+    support reached the wrapped patch edge for worst-case alignments
+    (errors up to 0.47 on unit-variance data).
+    """
+    L, H, W = 2, 256, 384
+    gauss = jnp.asarray(rng.normal(size=(L, H, W)).astype(np.float32))
+    n, s = 8, 64
+    span = 37.9                      # sized like the ori stage: pr = 48+
+    pr = -(-(int(span) + 12) // 8) * 8
+    # centres chosen so nearest-8 alignment wastes the full 4+4 budget
+    cy = np.full(n, 100.0 + 3.9, np.float32)
+    cx = np.full(n, 200.0, np.float32)
+    half = span / 2
+    ys = jnp.asarray(np.stack([np.linspace(c - half, c + half, s)
+                               for c in cy]).astype(np.float32))
+    xs = jnp.asarray(np.stack([np.linspace(c - half, c + half, s)
+                               for c in cx]).astype(np.float32))
+    lvl = jnp.zeros(n, jnp.int32)
+    dx_r, dy_r, _ = _xla_reference(gauss, lvl, ys, xs)
+    dx, dy, _ = sample_grad_patches(gauss, lvl, ys, xs, pr=pr,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(dy), np.asarray(dy_r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_r), atol=1e-5)

@@ -141,6 +141,52 @@ def cmd_sfm(args):
           f"{ate_rmse(rec.poses_r, rec.poses_t, seq.poses_r, seq.poses_t):.4f} m")
 
 
+def cmd_dist(args):
+    """Multi-device pipeline: sharded extraction + distributed Schur BA.
+
+    Exercises BASELINE configs[4]'s machinery on whatever devices exist —
+    a TPU slice, or a virtual CPU mesh via
+    XLA_FLAGS=--xla_force_host_platform_device_count=N (SURVEY.md §4.4).
+    Prints per-device-count timings so scaling efficiency is visible.
+    """
+    import jax
+    import jax.numpy as jnp
+    from .config import BAConfig, SiftConfig
+    from .data.synthetic import ba_problem, textured_image
+    from .parallel.dist_ba import distributed_bundle_adjust, partition_by_landmark
+    from .parallel.mesh import make_mesh, map_mesh
+    from .parallel.sharded import extract_frames
+
+    devs = jax.devices()
+    counts = [n for n in (1, 2, 4, 8, 16) if n <= len(devs)]
+    print(f"{len(devs)} device(s): {devs[0].platform}")
+    cfg = SiftConfig(max_kpts=args.max_kpts,
+                     max_kpts_per_octave=args.max_kpts // 2,
+                     num_octaves=3)
+    h, w = 240, 320
+    for n in counts:
+        mesh = make_mesh(frames=n, map_=1, devices=devs[:n])
+        imgs = jnp.asarray(np.stack(
+            [textured_image(h, w, seed=s, blobs=120) for s in range(n * 2)]))
+        t0 = time.time()
+        feats = extract_frames(imgs, mesh, cfg)
+        total = int(np.asarray(feats.valid.sum()))
+        dt = time.time() - t0
+        print(f"  extract {n * 2} frames on {n} dev: {dt:.2f}s "
+              f"(incl. compile), {total} kpts")
+    for n in counts:
+        d, _ = ba_problem(seed=0, n_cams=8, n_pts=64 * n, pixel_noise=0.4)
+        parts = partition_by_landmark(d, n)
+        bmesh = map_mesh(n, devices=devs[:n])
+        t0 = time.time()
+        res = distributed_bundle_adjust(parts, bmesh,
+                                        BAConfig(max_iters=5, cg_iters=15,
+                                                 num_fixed_poses=2))
+        c0, c1 = float(res.initial_cost), float(res.cost)
+        print(f"  dist-BA {64 * n} landmarks on {n} dev: "
+              f"{time.time() - t0:.2f}s, cost {c0:.1f} -> {c1:.1f}")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="cusift_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -165,6 +211,10 @@ def main(argv=None):
     f.add_argument("--synthetic", type=int)
     f.add_argument("--max-kpts", type=int, default=1024)
     f.set_defaults(fn=cmd_sfm)
+
+    g = sub.add_parser("dist", help="multi-device sharded extract + Schur BA")
+    g.add_argument("--max-kpts", type=int, default=256)
+    g.set_defaults(fn=cmd_dist)
 
     args = ap.parse_args(argv)
     args.fn(args)

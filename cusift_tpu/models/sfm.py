@@ -21,7 +21,6 @@ from ..config import (BAConfig, MatchConfig, RansacConfig, SiftConfig)
 from ..optim.ba import BAProblem, BAResult, bundle_adjust
 from ..ops.match import match
 from ..ops.ransac import find_rigid
-from ..optim.lie import compose, inverse
 from .slam import _extract_with_points
 
 

@@ -13,7 +13,6 @@ process bootstrap is `jax.distributed.initialize()` (no-op on one host).
 
 from __future__ import annotations
 
-import math
 
 import jax
 import numpy as np

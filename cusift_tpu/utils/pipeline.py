@@ -20,7 +20,6 @@ import threading
 from typing import Iterable, Iterator
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 

@@ -413,8 +413,10 @@ class Slam:
             weight=jnp.asarray(np.array(s.weight, np.float32)),
         )
         res = pg_optimize(g, self.pg_cfg)
-        s.kf_pose_r = np.asarray(res.poses_r)
-        s.kf_pose_t = np.asarray(res.poses_t)
+        # np.array, not np.asarray: the latter returns a READ-ONLY view of
+        # the device buffer, and keyframe inserts mutate these in place
+        s.kf_pose_r = np.array(res.poses_r)
+        s.kf_pose_t = np.array(res.poses_t)
 
     # ---------- outputs ----------
 
@@ -462,8 +464,8 @@ class Slam:
         s.kf_desc = jnp.asarray(z["kf_desc"])
         s.kf_valid = jnp.asarray(z["kf_valid"])
         s.kf_pts = jnp.asarray(z["kf_pts"])
-        s.kf_pose_r = np.asarray(z["kf_pose_r"])
-        s.kf_pose_t = np.asarray(z["kf_pose_t"])
+        s.kf_pose_r = np.array(z["kf_pose_r"])
+        s.kf_pose_t = np.array(z["kf_pose_t"])
         s.n_kf = int(z["n_kf"])
         s.edge_i = list(z["edge_i"])
         s.edge_j = list(z["edge_j"])

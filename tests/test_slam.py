@@ -83,3 +83,24 @@ def test_chunked_run_matches_sequential():
     ate3 = s3.ate(seq.poses_r, seq.poses_t)
     assert len(s3.metrics) == 10
     assert ate1 < 0.05 and ate3 < 0.05, (ate1, ate3)
+
+
+def test_loop_closure_fires_and_holds_accuracy():
+    """Aggressive keyframing on a closed arc must trigger retrieval +
+    geometric verification + pose-graph optimisation (and keyframe
+    insertion must keep working afterwards — regression: optimised poses
+    came back as read-only device views)."""
+    seq = planar_rgbd_sequence(24, 240, 320, motion_scale=0.9, seed=5)
+    slam = Slam(seq.intr, sift_cfg=SIFT,
+                ransac_cfg=RansacConfig(inlier_thresh_3d=0.03),
+                slam_cfg=SlamConfig(max_keyframes=32, kf_min_inliers=220,
+                                    kf_max_translation=0.06,
+                                    kf_max_rotation=0.06,
+                                    loop_temporal_gap=4,
+                                    loop_min_score=0.05,
+                                    loop_min_inliers=25))
+    for i in range(24):
+        slam.process_frame(seq.images[i], seq.depths[i])
+    assert slam.state.n_closures >= 1
+    assert slam.state.n_kf >= 10       # keyframes keep inserting post-closure
+    assert slam.ate(seq.poses_r, seq.poses_t) < 0.05

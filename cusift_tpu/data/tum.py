@@ -44,18 +44,24 @@ def _read_list(path: str) -> list[tuple[float, str]]:
 
 
 def associate(a: list, b: list, max_dt: float = 0.02) -> list[tuple[int, int]]:
-    """Greedy nearest-timestamp association of two stamped lists."""
+    """Greedy nearest-timestamp association of two time-sorted lists.
+
+    np.searchsorted per query instead of the naive O(|a|*|b|) sweep — a
+    full fr2 sequence has ~3k entries per stream, where the quadratic form
+    spends tens of seconds before the first frame decodes.
+    """
+    import numpy as np
+    tb = np.array([t for t, _ in b])
     pairs = []
-    j = 0
     used = set()
     for i, (ta, _) in enumerate(a):
+        j = int(np.searchsorted(tb, ta))
         best, best_dt = -1, max_dt
-        for j in range(len(b)):
-            if j in used:
-                continue
-            dt = abs(b[j][0] - ta)
-            if dt <= best_dt:
-                best, best_dt = j, dt
+        for cand in (j - 1, j):
+            if 0 <= cand < len(tb) and cand not in used:
+                dt = abs(tb[cand] - ta)
+                if dt <= best_dt:
+                    best, best_dt = cand, dt
         if best >= 0:
             pairs.append((i, best))
             used.add(best)

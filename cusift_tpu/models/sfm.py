@@ -123,6 +123,10 @@ def reconstruct_rgbd(images, depths, intr,
               if len({fr for fr, _ in m}) >= 2][:max_tracks]
 
     # landmarks from the earliest observation's depth back-projection
+    # (feature coordinates fetched once per frame — per-observation
+    # np.asarray would pay a host round-trip each)
+    xs_np = [np.asarray(fe.x) for fe in feats]
+    ys_np = [np.asarray(fe.y) for fe in feats]
     cam_idx, pt_idx, uvs, ws = [], [], [], []
     points = []
     for li, obs in enumerate(tracks):
@@ -139,9 +143,7 @@ def reconstruct_rgbd(images, depths, intr,
             seen.add(fr)
             cam_idx.append(fr)
             pt_idx.append(li)
-            fx = np.asarray(feats[fr].x)[k]
-            fy = np.asarray(feats[fr].y)[k]
-            uvs.append((fx, fy))
+            uvs.append((xs_np[fr][k], ys_np[fr][k]))
             ws.append(1.0)
 
     n_obs = len(cam_idx)

@@ -308,7 +308,9 @@ class Slam:
         self.metrics.append(rec)
         if self.on_metric:
             self.on_metric(rec)
-        if (self.cfg.checkpoint_every
+        # only on a freshly-added keyframe — re-checking on every frame
+        # would rewrite the full multi-hundred-MB state once per frame
+        if (need_kf and self.cfg.checkpoint_every
                 and s.n_kf % self.cfg.checkpoint_every == 0):
             self.checkpoint(f"slam_ckpt_{s.n_kf:04d}.npz")
         return rec

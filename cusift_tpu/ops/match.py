@@ -67,7 +67,10 @@ def match(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
     d1 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * s1, 0.0))
     d2 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * s2, 1e-12))
     ratio = d1 / d2
-    ok = (valid_a & jnp.isfinite(s1)
+    # isfinite(s2): with a single valid candidate in B the second-best is
+    # -inf, d2 = inf and ratio = 0 — the test would pass vacuously for
+    # every query row
+    ok = (valid_a & jnp.isfinite(s1) & jnp.isfinite(s2)
           & (ratio < cfg.ratio_thresh) & (s1 > cfg.min_score))
     if cfg.cross_check:
         ok = ok & (best_for_b[i1] == jnp.arange(desc_a.shape[0]))

@@ -114,8 +114,15 @@ class _Blocks(NamedTuple):
 
 @f32_matmuls
 def build_blocks(p: BAProblem, damping, huber_delta: float,
-                 res=None, jc=None, jp=None) -> _Blocks:
-    """Gauss-Newton blocks with LM damping folded into U and V."""
+                 res=None, jc=None, jp=None, axis_name=None) -> _Blocks:
+    """Gauss-Newton blocks with LM damping folded into U and V.
+
+    Under shard_map the U blocks are later psum'd over `axis_name`, so the
+    per-shard damping contribution is divided by the shard count — the
+    reduced camera system then carries exactly (damping + eps) * I
+    regardless of device count, keeping single-device and distributed LM
+    steps identical.
+    """
     if res is None:
         res, jc, jp = _residuals_and_jacobians(p)
     c, l = p.poses_r.shape[0], p.points.shape[0]
@@ -130,7 +137,8 @@ def build_blocks(p: BAProblem, damping, huber_delta: float,
     b_p = -_seg((w * jpt @ res[..., None])[..., 0], p.pt_idx, num_segments=l)
 
     # LM damping; the small epsilon keeps unobserved blocks invertible.
-    u = u + (damping + 1e-8) * jnp.eye(6)[None]
+    n_shards = (jax.lax.psum(1, axis_name) if axis_name is not None else 1)
+    u = u + (damping + 1e-8) / n_shards * jnp.eye(6)[None]
     v = v + (damping + 1e-8) * jnp.eye(3)[None]
     v_inv = inv3(v)
     return _Blocks(u=u, v_inv=v_inv, wo=wo, b_c=b_c, b_p=b_p)
@@ -179,22 +187,25 @@ def pcg(matvec, b, precond, iters: int, tol: float):
     bnorm = jnp.maximum(jnp.sqrt(jnp.sum(b * b)), 1e-30)
 
     def body(carry, _):
-        x, r, p, rz = carry
+        x, r, p, rz, done = carry
         ap = matvec(p)
         denom = jnp.sum(p * ap)
         alpha = jnp.where(jnp.abs(denom) > 1e-30, rz / denom, 0.0)
+        # freeze once converged (scan has no early exit; a zero step keeps
+        # x/r/p fixed for the remaining iterations)
+        alpha = jnp.where(done, 0.0, alpha)
         x2 = x + alpha * p
         r2 = r - alpha * ap
         z2 = precond(r2)
         rz2 = jnp.sum(r2 * z2)
         beta = jnp.where(jnp.abs(rz) > 1e-30, rz2 / rz, 0.0)
-        p2 = z2 + beta * p
-        # freeze once converged (scan has no early exit; cheap iterations)
-        done = jnp.sqrt(jnp.sum(r2 * r2)) / bnorm < tol
-        x2 = jnp.where(done, x2, x2)
-        return (x2, r2, p2, rz2), None
+        p2 = jnp.where(done, p, z2 + beta * p)
+        rz2 = jnp.where(done, rz, rz2)
+        done = done | (jnp.sqrt(jnp.sum(r2 * r2)) / bnorm < tol)
+        return (x2, r2, p2, rz2, done), None
 
-    (x, _, _, _), _ = jax.lax.scan(body, (x0, r0, p0, rz0), None, length=iters)
+    init = (x0, r0, p0, rz0, jnp.asarray(False))
+    (x, _, _, _, _), _ = jax.lax.scan(body, init, None, length=iters)
     return x
 
 
@@ -208,7 +219,7 @@ def solve_normal_equations(p: BAProblem, damping, cfg: BAConfig, axis_name=None)
     its local landmarks.
     """
     c = p.poses_r.shape[0]
-    blocks = build_blocks(p, damping, cfg.huber_delta)
+    blocks = build_blocks(p, damping, cfg.huber_delta, axis_name=axis_name)
     if axis_name is not None:
         blocks = blocks._replace(u=jax.lax.psum(blocks.u, axis_name),
                                  b_c=jax.lax.psum(blocks.b_c, axis_name))

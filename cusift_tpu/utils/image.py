@@ -24,10 +24,13 @@ def to_gray_float(img: np.ndarray) -> np.ndarray:
         # luminance weights (Rec. 601), matching cv2.cvtColor BGR2GRAY
         b, g, r = img[..., 0], img[..., 1], img[..., 2]
         img = 0.114 * b + 0.587 * g + 0.299 * r
-    img = img.astype(np.float32)
-    if img.max() > 1.5:
-        img = img / 255.0
-    return img
+    # scale by DTYPE, not by observed values: a dark uint8 frame whose max
+    # is 1 must still map 1 -> 1/255, or it enters the pipeline 255x too
+    # bright relative to its neighbours
+    if np.issubdtype(img.dtype, np.integer):
+        maxv = float(np.iinfo(img.dtype).max)
+        return img.astype(np.float32) / maxv
+    return img.astype(np.float32)
 
 
 def pad_to_tier(img: np.ndarray):

@@ -86,15 +86,18 @@ bool decode_pnm(const std::vector<uint8_t>& b, float scale, Frame& f) {
   f.data.resize(static_cast<size_t>(w) * h);
   const uint8_t* p = b.data() + pos;
   const float inv = (scale > 0.f) ? scale : 1.0f / static_cast<float>(maxv);
+  // 16-bit samples are big-endian per the PNM spec
+  auto sample = [&](size_t si) -> float {
+    if (bytes == 2) return static_cast<float>((p[2 * si] << 8) | p[2 * si + 1]);
+    return static_cast<float>(p[si]);
+  };
   for (size_t i = 0; i < static_cast<size_t>(w) * h; i++) {
     float v;
-    if (ch == 3) {  // PPM -> Rec.601 luminance
-      float r = p[3 * i], g = p[3 * i + 1], bl = p[3 * i + 2];
-      v = 0.299f * r + 0.587f * g + 0.114f * bl;
-    } else if (bytes == 2) {  // 16-bit big-endian (PGM spec)
-      v = static_cast<float>((p[2 * i] << 8) | p[2 * i + 1]);
+    if (ch == 3) {  // PPM -> Rec.601 luminance (8- or 16-bit samples)
+      v = 0.299f * sample(3 * i) + 0.587f * sample(3 * i + 1)
+          + 0.114f * sample(3 * i + 2);
     } else {
-      v = static_cast<float>(p[i]);
+      v = sample(i);
     }
     f.data[i] = v * inv;
   }
@@ -126,14 +129,18 @@ bool decode_npy(const std::vector<uint8_t>& b, float scale, Frame& f) {
   const size_t avail = b.size() - 10 - hlen;
   f.h = h; f.w = w;
   f.data.resize(npix);
-  const float s = (scale > 0.f) ? scale : 1.0f;
+  // scale == 0 means "normalise by the dtype's max" (the documented
+  // contract); floats pass through unscaled in that case
   if (descr.find("f4") != std::string::npos && avail >= npix * 4) {
+    const float s = (scale > 0.f) ? scale : 1.0f;
     const float* fp = reinterpret_cast<const float*>(p);
     for (size_t i = 0; i < npix; i++) f.data[i] = fp[i] * s;
   } else if (descr.find("u2") != std::string::npos && avail >= npix * 2) {
+    const float s = (scale > 0.f) ? scale : 1.0f / 65535.0f;
     const uint16_t* up = reinterpret_cast<const uint16_t*>(p);
     for (size_t i = 0; i < npix; i++) f.data[i] = up[i] * s;
   } else if (descr.find("u1") != std::string::npos && avail >= npix) {
+    const float s = (scale > 0.f) ? scale : 1.0f / 255.0f;
     for (size_t i = 0; i < npix; i++) f.data[i] = p[i] * s;
   } else {
     return false;

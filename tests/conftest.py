@@ -36,29 +36,13 @@ def rng():
     return np.random.default_rng(0)
 
 
-def _textured_image(h, w, seed=0, blobs=160):
-    """Synthetic textured test image: random Gaussian blobs + gradient.
-
-    Gives SIFT-friendly structure (corners/blobs at many scales) without
-    shipping binary fixtures.
-    """
-    rs = np.random.default_rng(seed)
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    img = 0.15 + 0.1 * (xx / w) + 0.1 * (yy / h)
-    for _ in range(blobs):
-        cx, cy = rs.uniform(0, w), rs.uniform(0, h)
-        s = rs.uniform(2.0, 18.0)
-        a = rs.uniform(-0.6, 0.8)
-        img += a * np.exp(-((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * s * s))
-    img = (img - img.min()) / (img.max() - img.min())
-    return img.astype(np.float32)
-
-
 @pytest.fixture(scope="session")
 def test_image():
-    return _textured_image(240, 320, seed=1)
+    from cusift_tpu.data.synthetic import textured_image
+    return textured_image(240, 320, seed=1)
 
 
 @pytest.fixture(scope="session")
 def test_image_large():
-    return _textured_image(480, 640, seed=2)
+    from cusift_tpu.data.synthetic import textured_image
+    return textured_image(480, 640, seed=2)

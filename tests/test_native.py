@@ -84,3 +84,25 @@ def test_stream_bad_file_raises(tmp_path):
     stream = native_loader.FrameStream([p])
     with pytest.raises(ValueError):
         next(stream)
+
+
+def test_decode_npy_uint8_normalises(tmp_path, rng):
+    """scale == 0 must normalise integer dtypes by their max (contract)."""
+    img = (rng.random((8, 16)) * 255).astype(np.uint8)
+    p = tmp_path / "u8.npy"
+    np.save(p, img)
+    out = native_loader.decode(str(p))
+    np.testing.assert_allclose(out, img.astype(np.float32) / 255.0, atol=1e-6)
+
+
+def test_decode_ppm16(tmp_path, rng):
+    """16-bit P6: big-endian samples, not byte-interleaved-as-RGB garbage."""
+    h, w = 4, 6
+    rgb = (rng.random((h, w, 3)) * 65535).astype(np.uint16)
+    hdr = f"P6\n{w} {h}\n65535\n".encode()
+    p = tmp_path / "c16.ppm"
+    p.write_bytes(hdr + rgb.astype(">u2").tobytes())
+    out = native_loader.decode(str(p))
+    want = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+            + 0.114 * rgb[..., 2]).astype(np.float32) / 65535.0
+    np.testing.assert_allclose(out, want, atol=1e-4)

@@ -252,10 +252,15 @@ class Slam:
             self._next_key())
         return feats, pts, packed, ref
 
-    def _commit(self, feats, pts, packed, ref) -> dict:
-        """Fetch one step's packed scalars and apply the SLAM decisions."""
+    def _commit(self, feats, pts, packed, ref, index=None) -> dict:
+        """Fetch one step's packed scalars and apply the SLAM decisions.
+
+        index selects one frame out of a chunked step's batched outputs —
+        sliced LAZILY inside the keyframe branch, because eagerly slicing
+        9 arrays per frame costs ~6 ms/frame of dispatch on the tunnel and
+        most frames never become keyframes.
+        """
         s = self.state
-        desc, valid = feats.desc, feats.valid
         packed = np.asarray(packed)                      # the one fetch
         inl = int(packed[0])
         n_kpts = int(packed[2])
@@ -283,6 +288,10 @@ class Slam:
 
         loop_found = False
         if need_kf and s.n_kf < self.cfg.max_keyframes:
+            if index is not None:
+                feats = jax.tree.map(lambda a: a[index], feats)
+                pts = pts[index]
+            desc, valid = feats.desc, feats.valid
             # pose of the new keyframe: T_cur<-w = T_cur<-ref * T_ref<-w
             # (host numpy 3x3 math; device round-trips cost ~38 ms each)
             pose_r = rel_r @ s.kf_pose_r[ref]
@@ -328,7 +337,11 @@ class Slam:
 
         chunk > 1 tracks N frames per dispatch with ONE scalar fetch
         (see _chunk_step): ~chunk-fold fewer host round-trips at the cost
-        of keyframe decisions lagging by up to chunk-1 frames.
+        of keyframe decisions lagging by up to chunk-1 frames.  On the
+        axon tunnel this measures SLOWER than chunk=1 (the big chunk
+        upload serialises against the queue in ways per-frame uploads do
+        not); it exists for hosts where per-fetch latency, not transfer,
+        dominates.
         """
         if chunk > 1:
             return self._run_chunked(frames, max_frames, chunk)
@@ -369,9 +382,7 @@ class Slam:
                 self.match_cfg, self.ransac_cfg, keys)
             packed_np = np.asarray(packed)           # the one fetch
             for i in range(n_valid):
-                f_i = jax.tree.map(lambda a: a[i], feats)
-                p_i = pts[i]
-                self._commit(f_i, p_i, packed_np[i], ref)
+                self._commit(feats, pts, packed_np[i], ref, index=i)
             done += n_valid
         return self.metrics
 

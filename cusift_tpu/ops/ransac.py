@@ -94,6 +94,31 @@ def find_homography(pa: jnp.ndarray, pb: jnp.ndarray, valid: jnp.ndarray,
 
 
 @f32_matmuls
+@partial(jax.jit, static_argnames=("iters",))
+def improve_homography(h: jnp.ndarray, pa: jnp.ndarray, pb: jnp.ndarray,
+                       valid: jnp.ndarray, thresh: float = 3.0,
+                       iters: int = 5) -> jnp.ndarray:
+    """Standalone IRLS polish of an existing homography.
+
+    Reference API parity: ``ImproveHomography`` in geomFuncs.cpp
+    (SURVEY.md C14) — repeated inlier re-selection under the current H
+    followed by a weighted DLT solve.  ``find_homography`` runs the same
+    loop internally; this entry point serves callers that bring their own
+    initial H (e.g. a tracker's prediction).
+    """
+
+    def step(h, _):
+        err = jnp.sum((apply_homography(h, pa) - pb) ** 2, -1)
+        w = ((err < thresh ** 2) & valid).astype(jnp.float32)
+        h2 = solve_homography(pa, pb, w)
+        good = jnp.all(jnp.isfinite(h2))
+        return jnp.where(good, h2, h), None
+
+    h, _ = jax.lax.scan(step, h, None, length=iters)
+    return h
+
+
+@f32_matmuls
 @partial(jax.jit, static_argnames=("cfg",))
 def find_rigid(pa: jnp.ndarray, pb: jnp.ndarray, valid: jnp.ndarray,
                cfg: RansacConfig = RansacConfig(),

@@ -5,6 +5,7 @@ import jax
 import jax.numpy as jnp
 
 from cusift_tpu.config import RansacConfig
+from cusift_tpu.ops import geometry
 from cusift_tpu.ops.geometry import apply_homography, procrustes
 from cusift_tpu.ops.ransac import find_homography, find_rigid
 from cusift_tpu.optim.lie import so3_exp
@@ -75,3 +76,25 @@ def test_degenerate_input_no_nan():
     res = find_homography(pa, pb, jnp.zeros(32, bool), CFG)
     assert not bool(res.ok)
     assert np.isfinite(np.asarray(res.h)).all()
+
+
+def test_improve_homography_polishes(rng):
+    """C14 parity: IRLS from a perturbed H recovers the true one."""
+    from cusift_tpu.ops.ransac import improve_homography
+
+    n = 200
+    pa = rng.uniform(20, 600, (n, 2)).astype(np.float32)
+    h_true = np.array([[1.02, 0.03, 5.0], [-0.02, 0.98, -3.0],
+                       [1e-5, -2e-5, 1.0]], np.float32)
+    pb = np.asarray(geometry.apply_homography(jnp.asarray(h_true),
+                                              jnp.asarray(pa)))
+    pb = pb + rng.normal(scale=0.2, size=pb.shape).astype(np.float32)
+    h0 = h_true + rng.normal(scale=0.01, size=(3, 3)).astype(np.float32)
+    h0[2, 2] = 1.0
+    h = np.asarray(improve_homography(jnp.asarray(h0), jnp.asarray(pa),
+                                      jnp.asarray(pb), jnp.ones(n, bool)))
+    q0 = np.asarray(geometry.apply_homography(jnp.asarray(h0), jnp.asarray(pa)))
+    q1 = np.asarray(geometry.apply_homography(jnp.asarray(h), jnp.asarray(pa)))
+    gt = np.asarray(geometry.apply_homography(jnp.asarray(h_true), jnp.asarray(pa)))
+    assert np.abs(q1 - gt).max() < np.abs(q0 - gt).max()
+    assert np.abs(q1 - gt).mean() < 0.5

@@ -89,8 +89,10 @@ def test_improve_homography_polishes(rng):
     pb = np.asarray(geometry.apply_homography(jnp.asarray(h_true),
                                               jnp.asarray(pa)))
     pb = pb + rng.normal(scale=0.2, size=pb.shape).astype(np.float32)
-    h0 = h_true + rng.normal(scale=0.01, size=(3, 3)).astype(np.float32)
-    h0[2, 2] = 1.0
+    # perturb the affine part only: noise on the projective row at this
+    # scale makes the initial H so degenerate that no inliers survive
+    h0 = h_true.copy()
+    h0[:2] += rng.normal(scale=0.005, size=(2, 3)).astype(np.float32)
     h = np.asarray(improve_homography(jnp.asarray(h0), jnp.asarray(pa),
                                       jnp.asarray(pb), jnp.ones(n, bool)))
     q0 = np.asarray(geometry.apply_homography(jnp.asarray(h0), jnp.asarray(pa)))

@@ -82,7 +82,9 @@ def find_homography(pa: jnp.ndarray, pb: jnp.ndarray, valid: jnp.ndarray,
         err = jnp.sum((apply_homography(h, pa) - pb) ** 2, -1)
         w = ((err < cfg.inlier_thresh ** 2) & valid).astype(jnp.float32)
         h2 = solve_homography(pa, pb, w)
-        good = jnp.all(jnp.isfinite(h2))
+        # < 4 inliers under-determines H: the ridge term would "solve" it
+        # to garbage; keep the previous estimate instead
+        good = jnp.all(jnp.isfinite(h2)) & (jnp.sum(w) >= 4)
         return jnp.where(good, h2, h), None
 
     h, _ = jax.lax.scan(refine, h, None, length=cfg.refine_iters)
@@ -111,7 +113,8 @@ def improve_homography(h: jnp.ndarray, pa: jnp.ndarray, pb: jnp.ndarray,
         err = jnp.sum((apply_homography(h, pa) - pb) ** 2, -1)
         w = ((err < thresh ** 2) & valid).astype(jnp.float32)
         h2 = solve_homography(pa, pb, w)
-        good = jnp.all(jnp.isfinite(h2))
+        # < 4 inliers under-determines H; keep the previous estimate
+        good = jnp.all(jnp.isfinite(h2)) & (jnp.sum(w) >= 4)
         return jnp.where(good, h2, h), None
 
     h, _ = jax.lax.scan(step, h, None, length=iters)

@@ -48,20 +48,24 @@ def associate(a: list, b: list, max_dt: float = 0.02) -> list[tuple[int, int]]:
 
     np.searchsorted per query instead of the naive O(|a|*|b|) sweep — a
     full fr2 sequence has ~3k entries per stream, where the quadratic form
-    spends tens of seconds before the first frame decodes.
+    spends tens of seconds before the first frame decodes.  All candidates
+    inside the max_dt window are considered (not just the two nearest
+    indices), so used-up neighbours fall back to the next-closest stamp
+    like the original full scan did.
     """
-    import numpy as np
     tb = np.array([t for t, _ in b])
     pairs = []
     used = set()
     for i, (ta, _) in enumerate(a):
-        j = int(np.searchsorted(tb, ta))
+        lo = int(np.searchsorted(tb, ta - max_dt))
+        hi = int(np.searchsorted(tb, ta + max_dt, side="right"))
         best, best_dt = -1, max_dt
-        for cand in (j - 1, j):
-            if 0 <= cand < len(tb) and cand not in used:
-                dt = abs(tb[cand] - ta)
-                if dt <= best_dt:
-                    best, best_dt = cand, dt
+        for cand in range(lo, hi):
+            if cand in used:
+                continue
+            dt = abs(tb[cand] - ta)
+            if dt <= best_dt:
+                best, best_dt = cand, dt
         if best >= 0:
             pairs.append((i, best))
             used.add(best)

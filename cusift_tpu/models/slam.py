@@ -287,7 +287,8 @@ class Slam:
             or rot_mag > self.cfg.kf_max_rotation)
 
         loop_found = False
-        if need_kf and s.n_kf < self.cfg.max_keyframes:
+        added_kf = need_kf and s.n_kf < self.cfg.max_keyframes
+        if added_kf:
             if index is not None:
                 feats = jax.tree.map(lambda a: a[index], feats)
                 pts = pts[index]
@@ -312,14 +313,14 @@ class Slam:
 
         rec = {"frame": len(s.traj_ref) - 1, "kpts": n_kpts,
                "matches": n_matches, "inliers": inl,
-               "keyframe": bool(need_kf), "loop": bool(loop_found),
+               "keyframe": bool(added_kf), "loop": bool(loop_found),
                "tracked": tracked}
         self.metrics.append(rec)
         if self.on_metric:
             self.on_metric(rec)
-        # only on a freshly-added keyframe — re-checking on every frame
-        # would rewrite the full multi-hundred-MB state once per frame
-        if (need_kf and self.cfg.checkpoint_every
+        # only on a freshly-INSERTED keyframe — need_kf alone keeps firing
+        # every frame once the keyframe ring is full
+        if (added_kf and self.cfg.checkpoint_every
                 and s.n_kf % self.cfg.checkpoint_every == 0):
             self.checkpoint(f"slam_ckpt_{s.n_kf:04d}.npz")
         return rec

@@ -20,17 +20,18 @@ SHAPE_TIERS = ((480, 640), (376, 1248), (960, 1280), (1536, 2048))
 def to_gray_float(img: np.ndarray) -> np.ndarray:
     """uint8/float, gray/RGB -> float32 grayscale in [0, 1]."""
     img = np.asarray(img)
+    # scale by the INPUT dtype, captured before the luminance conversion
+    # promotes to float: a dark uint8 frame whose max is 1 must still map
+    # 1 -> 1/255, and a colour uint8 image must not skip the /255
+    dtype = img.dtype
     if img.ndim == 3:
         # luminance weights (Rec. 601), matching cv2.cvtColor BGR2GRAY
         b, g, r = img[..., 0], img[..., 1], img[..., 2]
         img = 0.114 * b + 0.587 * g + 0.299 * r
-    # scale by DTYPE, not by observed values: a dark uint8 frame whose max
-    # is 1 must still map 1 -> 1/255, or it enters the pipeline 255x too
-    # bright relative to its neighbours
-    if np.issubdtype(img.dtype, np.integer):
-        maxv = float(np.iinfo(img.dtype).max)
-        return img.astype(np.float32) / maxv
-    return img.astype(np.float32)
+    img = img.astype(np.float32)
+    if np.issubdtype(dtype, np.integer):
+        img = img / float(np.iinfo(dtype).max)
+    return img
 
 
 def pad_to_tier(img: np.ndarray):

@@ -116,6 +116,9 @@ bool decode_npy(const std::vector<uint8_t>& b, float scale, Frame& f) {
     return hdr.substr(p + 1, e - p - 1);
   };
   const std::string descr = find_val("'descr'");
+  // little-endian host decode only: '>f4'-style big-endian payloads would
+  // reinterpret byte-swapped and normalise into plausible-looking garbage
+  if (descr.find('>') != std::string::npos) return false;
   const bool fortran = find_val("'fortran_order'").find("True") != std::string::npos;
   if (fortran) return false;
   size_t sp = hdr.find("'shape'");

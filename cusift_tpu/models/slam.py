@@ -270,14 +270,30 @@ class Slam:
         xi = packed[16:22]
         tracked = bool(packed[1]) and inl >= self.cfg.track_min_inliers
 
+        relocalised = False
         if not tracked:
-            # tracking lost: copy the previous frame's relative pose AND its
-            # reference — in chunked runs `ref` may be stale (a keyframe
-            # promoted earlier in the chunk), and the copied pose is only
-            # meaningful against the reference it was measured from
-            rel_r = np.asarray(s.traj_rel_r[-1])
-            rel_t = np.asarray(s.traj_rel_t[-1])
-            ref = int(s.traj_ref[-1])
+            # relocalisation: retrieve the most similar keyframe over the
+            # WHOLE map and verify geometrically — the reference-keyframe
+            # track just failed, but the frame may still see mapped space
+            # (e.g. after occlusion or fast motion)
+            if index is not None:
+                feats = jax.tree.map(lambda a: a[index], feats)
+                pts = pts[index]
+                index = None
+            reloc = self._try_relocalise(feats.desc, feats.valid, pts)
+            if reloc is not None:
+                ref, rel_r, rel_t = reloc
+                inl = self.cfg.track_min_inliers
+                tracked = True
+                relocalised = True
+            else:
+                # still lost: copy the previous frame's relative pose AND
+                # its reference — in chunked runs `ref` may be stale (a
+                # keyframe promoted earlier in the chunk), and the copied
+                # pose is only meaningful against its own reference
+                rel_r = np.asarray(s.traj_rel_r[-1])
+                rel_t = np.asarray(s.traj_rel_t[-1])
+                ref = int(s.traj_ref[-1])
 
         trans_mag = float(np.linalg.norm(xi[:3]))
         rot_mag = float(np.linalg.norm(xi[3:]))
@@ -314,7 +330,7 @@ class Slam:
         rec = {"frame": len(s.traj_ref) - 1, "kpts": n_kpts,
                "matches": n_matches, "inliers": inl,
                "keyframe": bool(added_kf), "loop": bool(loop_found),
-               "tracked": tracked}
+               "tracked": tracked, "relocalised": relocalised}
         self.metrics.append(rec)
         if self.on_metric:
             self.on_metric(rec)
@@ -386,6 +402,34 @@ class Slam:
                 self._commit(feats, pts, packed_np[i], ref, index=i)
             done += n_valid
         return self.metrics
+
+    def _try_relocalise(self, desc, valid, pts):
+        """Retrieval + rigid verification against the whole keyframe map.
+
+        Returns (ref_keyframe, rel_r, rel_t) — T_cur<-ref — or None.  The
+        reference has nothing comparable (SURVEY.md §5.3: it fail-fasts);
+        this is the recovery story that makes long-sequence runs survive
+        occlusions and motion blur.
+        """
+        s = self.state
+        if s.n_kf < 1:
+            return None
+        active = np.zeros(self.cfg.max_keyframes, bool)
+        active[:s.n_kf] = True
+        scores = np.asarray(_kf_scores(desc, valid, s.kf_desc, s.kf_valid,
+                                       jnp.asarray(active)))
+        cand = int(np.argmax(scores))
+        if not np.isfinite(scores[cand]) or scores[cand] < self.cfg.loop_min_score:
+            return None
+        rig, _ = _track(desc, valid, pts, s.kf_desc[cand], s.kf_valid[cand],
+                        s.kf_pts[cand], self.match_cfg, self.ransac_cfg,
+                        self._next_key())
+        if (not bool(rig.ok)
+                or int(rig.num_inliers) < self.cfg.track_min_inliers):
+            return None
+        r = np.asarray(rig.r)
+        t = np.asarray(rig.t)
+        return cand, r.T, -(r.T @ t)     # T_cur<-cand = (R, t)^-1
 
     def _try_loop_closure(self, j, desc, valid, pts) -> bool:
         """Retrieval + geometric verification + pose-graph update."""

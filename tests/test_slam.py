@@ -104,3 +104,24 @@ def test_loop_closure_fires_and_holds_accuracy():
     assert slam.state.n_closures >= 1
     assert slam.state.n_kf >= 10       # keyframes keep inserting post-closure
     assert slam.ate(seq.poses_r, seq.poses_t) < 0.05
+
+
+def test_relocalisation_after_blackout():
+    """Feeding noise frames loses tracking; the next real frame must
+    relocalise against the map instead of drifting on a frozen pose."""
+    seq = planar_rgbd_sequence(8, 240, 320, motion_scale=0.5, seed=6)
+    rs = np.random.default_rng(0)
+    slam = Slam(seq.intr, sift_cfg=SIFT,
+                slam_cfg=SlamConfig(max_keyframes=16))
+    for i in range(4):
+        slam.process_frame(seq.images[i], seq.depths[i])
+    for _ in range(2):                       # blackout: pure noise frames
+        slam.process_frame(rs.random((240, 320)).astype(np.float32) * 0.05,
+                           np.zeros((240, 320), np.float32))
+    rec = slam.process_frame(seq.images[4], seq.depths[4])
+    assert rec["tracked"]
+    assert any(m.get("relocalised") for m in slam.metrics) or rec["inliers"] > 0
+    # remaining frames track normally and accuracy holds on the real frames
+    for i in range(5, 8):
+        slam.process_frame(seq.images[i], seq.depths[i])
+    assert slam.metrics[-1]["tracked"]

@@ -104,6 +104,31 @@ def _chunk_step(frames, intr, ref_desc, ref_valid, ref_pts,
     return jax.vmap(one)(frames, keys)
 
 
+@partial(jax.jit, static_argnames=("match_cfg", "ransac_cfg"))
+def _retrieve_verify_step(desc, valid, pts, kf_desc, kf_valid, kf_pts,
+                          limit, exclude,
+                          match_cfg: MatchConfig, ransac_cfg: RansacConfig,
+                          key):
+    """Retrieval + geometric verification of the best map candidate.
+
+    One XLA program, one packed [16] result (cand, score, ok, inliers,
+    R, t) — shared by loop closure and relocalisation so neither pays the
+    score-fetch + per-field rig fetches (~5 round-trips) the split form
+    cost.  `limit`/`exclude` build the active-keyframe mask on device.
+    """
+    idx = jnp.arange(kf_desc.shape[0])
+    active = (idx < limit) & (idx != exclude)
+    scores = _kf_scores(desc, valid, kf_desc, kf_valid, active)
+    cand = jnp.argmax(scores)
+    rig, _ = _track(desc, valid, pts, kf_desc[cand], kf_valid[cand],
+                    kf_pts[cand], match_cfg, ransac_cfg, key)
+    return jnp.concatenate([
+        jnp.array([cand, scores[cand], rig.ok, rig.num_inliers],
+                  jnp.float32),
+        rig.r.reshape(-1), rig.t,
+    ])
+
+
 @jax.jit
 def _kf_scores(query_desc, query_valid, kf_desc, kf_valid, kf_active):
     """[MAXKF] similarity of a query frame to every stored keyframe.
@@ -280,12 +305,22 @@ class Slam:
                 feats = jax.tree.map(lambda a: a[index], feats)
                 pts = pts[index]
                 index = None
-            reloc = self._try_relocalise(feats.desc, feats.valid, pts)
+            reloc = self._try_relocalise(feats.desc, feats.valid, pts, ref)
             if reloc is not None:
-                ref, rel_r, rel_t = reloc
-                inl = self.cfg.track_min_inliers
+                ref, rel_r, rel_t, inl = reloc
                 tracked = True
                 relocalised = True
+                # motion magnitudes from the RECOVERED pose — xi belongs
+                # to the failed track and is garbage here
+                xi = np.zeros(6, np.float32)
+                xi[:3] = rel_t
+                cosang = np.clip((np.trace(rel_r) - 1.0) / 2.0, -1.0, 1.0)
+                xi[3] = np.arccos(cosang)
+                # rebase the tracking reference onto the recovered
+                # keyframe so following frames track it directly, even
+                # when the keyframe ring is full and nothing is inserted
+                self._ref_cache = (ref, s.kf_desc[ref], s.kf_valid[ref],
+                                   s.kf_pts[ref])
             else:
                 # still lost: copy the previous frame's relative pose AND
                 # its reference — in chunked runs `ref` may be stale (a
@@ -403,55 +438,55 @@ class Slam:
             done += n_valid
         return self.metrics
 
-    def _try_relocalise(self, desc, valid, pts):
-        """Retrieval + rigid verification against the whole keyframe map.
+    def _retrieve_and_verify(self, desc, valid, pts, limit: int,
+                             exclude: int, min_inliers: int):
+        """Best-map-candidate retrieval + rigid verification.
 
-        Returns (ref_keyframe, rel_r, rel_t) — T_cur<-ref — or None.  The
-        reference has nothing comparable (SURVEY.md §5.3: it fail-fasts);
-        this is the recovery story that makes long-sequence runs survive
-        occlusions and motion blur.
+        Returns (cand, r, t, inliers) with X_cand = R X_query + t, or
+        None.  One dispatch + one 16-float fetch (_retrieve_verify_step).
         """
+        if limit <= 0:
+            return None
         s = self.state
-        if s.n_kf < 1:
+        packed = np.asarray(_retrieve_verify_step(
+            desc, valid, pts, s.kf_desc, s.kf_valid, s.kf_pts,
+            limit, exclude, self.match_cfg, self.ransac_cfg,
+            self._next_key()))
+        cand, score, ok, inl = (int(packed[0]), float(packed[1]),
+                                bool(packed[2]), int(packed[3]))
+        if (not ok or not np.isfinite(score)
+                or score < self.cfg.loop_min_score
+                or inl < min_inliers):
             return None
-        active = np.zeros(self.cfg.max_keyframes, bool)
-        active[:s.n_kf] = True
-        scores = np.asarray(_kf_scores(desc, valid, s.kf_desc, s.kf_valid,
-                                       jnp.asarray(active)))
-        cand = int(np.argmax(scores))
-        if not np.isfinite(scores[cand]) or scores[cand] < self.cfg.loop_min_score:
+        return cand, packed[4:13].reshape(3, 3), packed[13:16], inl
+
+    def _try_relocalise(self, desc, valid, pts, ref):
+        """Relocalise against the map after a tracking failure.
+
+        Returns (keyframe, rel_r, rel_t, inliers) — T_cur<-keyframe — or
+        None.  Excludes `ref` (it just failed geometric tracking) and uses
+        the STRICT loop_min_inliers gate: accepting a false positive here
+        mutates the map, exactly like a loop closure.  The reference has
+        nothing comparable (SURVEY.md §5.3: it fail-fasts).
+        """
+        res = self._retrieve_and_verify(desc, valid, pts, self.state.n_kf,
+                                        ref, self.cfg.loop_min_inliers)
+        if res is None:
             return None
-        rig, _ = _track(desc, valid, pts, s.kf_desc[cand], s.kf_valid[cand],
-                        s.kf_pts[cand], self.match_cfg, self.ransac_cfg,
-                        self._next_key())
-        if (not bool(rig.ok)
-                or int(rig.num_inliers) < self.cfg.track_min_inliers):
-            return None
-        r = np.asarray(rig.r)
-        t = np.asarray(rig.t)
-        return cand, r.T, -(r.T @ t)     # T_cur<-cand = (R, t)^-1
+        cand, r, t, inl = res
+        return cand, r.T, -(r.T @ t), inl   # T_cur<-cand = (R, t)^-1
 
     def _try_loop_closure(self, j, desc, valid, pts) -> bool:
         """Retrieval + geometric verification + pose-graph update."""
         s = self.state
-        active = np.zeros(self.cfg.max_keyframes, bool)
-        lo = max(0, s.n_kf - 1 - self.cfg.loop_temporal_gap)
-        active[:lo] = True
-        if not active.any():
+        limit = max(0, s.n_kf - 1 - self.cfg.loop_temporal_gap)
+        res = self._retrieve_and_verify(desc, valid, pts, limit, -1,
+                                        self.cfg.loop_min_inliers)
+        if res is None:
             return False
-        scores = np.asarray(_kf_scores(desc, valid, s.kf_desc, s.kf_valid,
-                                       jnp.asarray(active)))
-        cand = int(np.argmax(scores))
-        if not np.isfinite(scores[cand]) or scores[cand] < self.cfg.loop_min_score:
-            return False
-        rig, _ = _track(desc, valid, pts, s.kf_desc[cand], s.kf_valid[cand],
-                        s.kf_pts[cand], self.match_cfg, self.ransac_cfg,
-                        self._next_key())
-        if not bool(rig.ok) or int(rig.num_inliers) < self.cfg.loop_min_inliers:
-            return False
-        # X_cand = R X_j + t  =>  T_j<-cand = (R,t)^-1; edge cand -> j
-        # measured T_cand * T_j^-1 = (R, t)... edge convention: T_i T_j^-1
-        self._add_edge(cand, j, rig.r, rig.t, 2.0)
+        cand, r, t, _ = res
+        # X_cand = R X_j + t  =>  edge cand -> j measured T_cand * T_j^-1
+        self._add_edge(cand, j, r, t, 2.0)
         s.n_closures += 1
         self._optimize_graph()
         return True

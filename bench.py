@@ -31,12 +31,17 @@ def main():
     ap.add_argument("--max-kpts", type=int, default=4096)
     ap.add_argument("--batch", type=int, default=8,
                     help="frames per dispatch for the headline batched "
-                         "pipeline (0 = use the two-frame pair step)")
+                         "pipeline (0 = use the two-frame pair step; "
+                         "must be 0 or >= 2 — consecutive-pair matching "
+                         "needs at least two frames)")
     ap.add_argument("--no-upscale", action="store_true",
                     help="skip the 2x first octave (cv2/CudaSift extract it)")
     ap.add_argument("--profile", action="store_true",
                     help="capture a jax.profiler trace into ./trace")
     args = ap.parse_args()
+    if args.batch == 1:
+        ap.error("--batch must be 0 (pair step) or >= 2 (consecutive-pair "
+                 "matching needs at least two frames)")
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")

@@ -53,7 +53,12 @@ def associate(a: list, b: list, max_dt: float = 0.02) -> list[tuple[int, int]]:
     indices), so used-up neighbours fall back to the next-closest stamp
     like the original full scan did.
     """
-    tb = np.array([t for t, _ in b])
+    tb_raw = np.array([t for t, _ in b])
+    # searchsorted needs sorted timestamps; _read_list preserves file order,
+    # so sort explicitly and map candidates back to original indices (an
+    # unsorted association file would otherwise silently yield wrong pairs).
+    order = np.argsort(tb_raw, kind="stable")
+    tb = tb_raw[order]
     pairs = []
     used = set()
     for i, (ta, _) in enumerate(a):
@@ -61,11 +66,12 @@ def associate(a: list, b: list, max_dt: float = 0.02) -> list[tuple[int, int]]:
         hi = int(np.searchsorted(tb, ta + max_dt, side="right"))
         best, best_dt = -1, max_dt
         for cand in range(lo, hi):
-            if cand in used:
+            orig = int(order[cand])
+            if orig in used:
                 continue
             dt = abs(tb[cand] - ta)
             if dt <= best_dt:
-                best, best_dt = cand, dt
+                best, best_dt = orig, dt
         if best >= 0:
             pairs.append((i, best))
             used.add(best)
@@ -86,14 +92,35 @@ def available(seq_dir: str) -> bool:
 
 
 def load_tum(seq_dir: str, max_frames: int | None = None,
-             stride: int = 1) -> Iterator[TumFrame]:
-    """Yield associated RGB-D frames (requires opencv for decoding)."""
-    import cv2
+             stride: int = 1, use_native: bool = True) -> Iterator[TumFrame]:
+    """Yield associated RGB-D frames.
+
+    Decoding goes through the native threaded prefetcher
+    (`utils/native_loader.FrameStream` — in-process PNG decode + worker
+    pool, so disk latency hides behind the accelerator) when the .so is
+    buildable, and falls back to per-frame OpenCV reads otherwise.
+    """
     rgb = _read_list(os.path.join(seq_dir, "rgb.txt"))
     dep = _read_list(os.path.join(seq_dir, "depth.txt"))
     pairs = associate(rgb, dep)[::stride]
     if max_frames:
         pairs = pairs[:max_frames]
+
+    from ..utils import native_loader
+    if use_native and native_loader.native_available():
+        rgb_paths = [os.path.join(seq_dir, rgb[i][1]) for i, _ in pairs]
+        dep_paths = [os.path.join(seq_dir, dep[j][1]) for _, j in pairs]
+        rgb_stream = native_loader.FrameStream(rgb_paths)
+        dep_stream = native_loader.FrameStream(dep_paths, scale=DEPTH_SCALE)
+        try:
+            for (i, _), img, d in zip(pairs, rgb_stream, dep_stream):
+                yield TumFrame(timestamp=rgb[i][0], image=img, depth=d)
+        finally:
+            rgb_stream.close()
+            dep_stream.close()
+        return
+
+    import cv2
     for i, j in pairs:
         img = cv2.imread(os.path.join(seq_dir, rgb[i][1]), cv2.IMREAD_GRAYSCALE)
         d16 = cv2.imread(os.path.join(seq_dir, dep[j][1]), cv2.IMREAD_UNCHANGED)

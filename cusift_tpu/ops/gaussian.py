@@ -6,7 +6,7 @@ image with shared-memory halos.  On TPU the idiomatic form is a depthwise
 separable convolution lowered through XLA (`lax.conv_general_dilated`), which
 the compiler tiles onto VMEM itself; taps are compile-time constants baked
 into the HLO.  A fused Pallas multi-level variant lives in
-``ops/pallas/multiblur.py`` for the perf endgame.
+``ops/pallas/octave.py`` for the perf endgame.
 """
 
 from __future__ import annotations

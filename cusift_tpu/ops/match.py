@@ -30,25 +30,36 @@ class Matches(NamedTuple):
     ok: jnp.ndarray     # [N] passed validity + ratio test (+ cross-check)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "interpret"))
 def match(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
           desc_b: jnp.ndarray, valid_b: jnp.ndarray,
-          cfg: MatchConfig = MatchConfig()) -> Matches:
-    """Ratio-test matching of [N, 128] against [M, 128] unit descriptors."""
+          cfg: MatchConfig = MatchConfig(),
+          interpret: bool = False) -> Matches:
+    """Ratio-test matching of [N, 128] against [M, 128] unit descriptors.
+
+    ``interpret`` runs the Pallas kernel in interpret mode (CPU tests of the
+    pallas/cross-check branch only; never set on TPU).
+    """
     backend = cfg.backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if desc_b.shape[0] > 8192:
-        backend = "xla"  # replicated B would not fit VMEM in the kernel
+    # The kernel replicates the non-query side into VMEM; with cross_check
+    # BOTH sides take a turn as the replicated operand, so the guard must
+    # cover the larger of the two (an asymmetric large-A/small-B call would
+    # otherwise blow the VMEM budget on the reverse pass).
+    vmem_limit = max(desc_a.shape[0], desc_b.shape[0]) if cfg.cross_check \
+        else desc_b.shape[0]
+    if vmem_limit > 8192:
+        backend = "xla"  # replicated side would not fit VMEM in the kernel
 
     if backend == "pallas":
         # fused MXU matmul + in-VMEM top-2: the [N, M] similarity matrix
         # never round-trips through HBM (ops/pallas/matcher.py)
         from .pallas.matcher import _pallas_top2
-        top, i1 = _pallas_top2(desc_a, desc_b, valid_b)
+        top, i1 = _pallas_top2(desc_a, desc_b, valid_b, interpret)
         s1, s2 = top[:, 0], top[:, 1]
         if cfg.cross_check:
-            _, best_for_b = _pallas_top2(desc_b, desc_a, valid_a)
+            _, best_for_b = _pallas_top2(desc_b, desc_a, valid_a, interpret)
     else:
         sim = jnp.dot(desc_a, desc_b.T, preferred_element_type=jnp.float32)
         sim = jnp.where(valid_b[None, :], sim, -jnp.inf)       # mask dead cols
@@ -63,9 +74,12 @@ def match(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
             sim_m = jnp.where(valid_a[:, None], sim, -jnp.inf)
             best_for_b = jnp.argmax(sim_m, axis=0)              # [M]
 
-    # unit vectors: d^2 = 2 - 2 * <a, b>
-    d1 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * s1, 0.0))
-    d2 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * s2, 1e-12))
+    # unit vectors: d^2 = 2 - 2 * <a, b>.  Clamp the correlations to the
+    # valid [-1, 1] range first: masked lanes carry -inf, and inf/inf in
+    # the ratio would be a NaN (flagged by jax_debug_nans) even though the
+    # ok gate discards those lanes.
+    d1 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * jnp.clip(s1, -1.0, 1.0), 0.0))
+    d2 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * jnp.clip(s2, -1.0, 1.0), 1e-12))
     ratio = d1 / d2
     # isfinite(s2): with a single valid candidate in B the second-best is
     # -inf, d2 = inf and ratio = 0 — the test would pass vacuously for

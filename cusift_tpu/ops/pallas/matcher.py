@@ -68,17 +68,29 @@ def _pallas_top2(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
     return top[:n], idx[:n, 0]
 
 
-@partial(jax.jit, static_argnames=("cfg", "interpret"))
+@partial(jax.jit, static_argnames=("cfg", "interpret", "debug_checks"))
 def match_pallas(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
                  desc_b: jnp.ndarray, valid_b: jnp.ndarray,
                  cfg: MatchConfig = MatchConfig(),
-                 interpret: bool = False) -> Matches:
+                 interpret: bool = False,
+                 debug_checks: bool = False) -> Matches:
     """Drop-in replacement for ops.match.match using the fused kernel."""
     top, i1 = _pallas_top2(desc_a, desc_b, valid_b, interpret)
+    if debug_checks:
+        # SURVEY.md §5.2 bounds sanitizer: the kernel's in-VMEM argmax must
+        # index a real B row (padded query rows are sliced off above; the
+        # B side is never padded).
+        from jax.experimental import checkify
+        checkify.check(jnp.all((i1 >= 0) & (i1 < desc_b.shape[0])),
+                       "matcher: best-match index out of range")
     s1, s2 = top[:, 0], top[:, 1]
-    d1 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * s1, 0.0))
-    d2 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * s2, 1e-12))
+    # clip as in ops/match.py: -inf masked lanes must not produce NaN ratios
+    d1 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * jnp.clip(s1, -1.0, 1.0), 0.0))
+    d2 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * jnp.clip(s2, -1.0, 1.0), 1e-12))
     ratio = d1 / d2
-    ok = (valid_a & jnp.isfinite(s1)
+    # isfinite(s2) mirrors ops/match.py: with a single valid candidate in B
+    # the second-best is -inf, d2 = inf and ratio = 0 — without the guard
+    # the ratio test passes vacuously for every query row.
+    ok = (valid_a & jnp.isfinite(s1) & jnp.isfinite(s2)
           & (ratio < cfg.ratio_thresh) & (s1 > cfg.min_score))
     return Matches(idx=i1, dist=d1, score=s1, ratio=ratio, ok=ok)

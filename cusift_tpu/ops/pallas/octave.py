@@ -150,6 +150,14 @@ def fused_octave(base: jnp.ndarray, cfg, h: int, w: int,
     prefilter = 0.5 * cfg.contrast_thresh / s
     taps, rp, wv, wp, n_tiles = _plan(cfg, h, w)
     hp = n_tiles * _TR + 2 * rp
+    # Index-math bounds (SURVEY.md §5.2): all kernel slices are static, so
+    # the guards are trace-time asserts rather than checkify.  The last
+    # tile's DMA reads rows [(n_tiles-1)*TR, (n_tiles-1)*TR + TR + 2rp)
+    # and the widest x-conv reads cols up to rp - 1 + rmax + wv + 2.
+    rmax = max((t.shape[0] - 1) // 2 for t in taps)
+    assert (n_tiles - 1) * _TR + _TR + 2 * rp <= hp
+    assert rp - 1 + rmax + wv + 2 <= wp, (rp, rmax, wv, wp)
+    assert rp >= rmax + 1, (rp, rmax)   # DoG halo for the extrema stencil
 
     # reflect-101 only up to rp (reflect pads must stay < dim); the tile
     # overhang past the last image row is zero-filled and never read back

@@ -37,22 +37,53 @@ def _prefetched(produce, prefetch: int) -> Iterator:
     `produce` is called with an `emit(item)` callback; emitted items are
     yielded in order while at most `prefetch` of them are in flight, so
     upload latency overlaps the consumer's compute.
+
+    Producer exceptions (corrupt frame, IO error mid-sequence) are re-raised
+    in the consumer instead of being swallowed as a clean end-of-stream; if
+    the consumer stops early (max_frames break), a cancel flag unblocks the
+    producer so it does not pin prefetched device buffers forever.
     """
     q: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
     stop = object()
+    cancelled = threading.Event()
+
+    class _Cancelled(Exception):
+        pass
+
+    def emit(item):
+        # Bounded put that gives up when the consumer has gone away.
+        while not cancelled.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return
+            except queue.Full:
+                continue
+        raise _Cancelled
 
     def worker():
+        outcome = None
         try:
-            produce(q.put)
-        finally:
-            q.put(stop)
+            produce(emit)
+        except _Cancelled:
+            return  # consumer exited early; nothing to deliver
+        except BaseException as exc:  # noqa: BLE001 — forwarded, not dropped
+            outcome = exc
+        try:
+            emit((stop, outcome))
+        except _Cancelled:
+            pass
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is stop:
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is stop:
+                if item[1] is not None:
+                    raise item[1]
+                return
+            yield item
+    finally:
+        cancelled.set()
 
 
 def device_frames(frames: Iterable, prefetch: int = 2) -> Iterator:

@@ -24,6 +24,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# SURVEY.md §5.2 sanitizer promise: fail the suite on any NaN produced by
+# a jitted op.  All masked-lane math in the package is structured to keep
+# dead lanes finite (zeros / -inf, never 0/0), so this is a real invariant,
+# not a tolerated-noise check.
+jax.config.update("jax_debug_nans", True)
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert jax.device_count() == 8, jax.devices()
 

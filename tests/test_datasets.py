@@ -71,6 +71,19 @@ def test_tum_association_rejects_far_stamps():
     assert pairs == [(0, 0)]          # a1 has no partner within 0.02 s
 
 
+def test_tum_association_unsorted_b():
+    """An unsorted depth list must associate the same as a sorted one
+    (searchsorted needs explicit sorting + index mapping; ADVICE r1)."""
+    a = [(0.0, "a0"), (1.0, "a1"), (2.0, "a2")]
+    b_sorted = [(0.004, "b0"), (1.002, "b1"), (2.01, "b2")]
+    b_shuffled = [b_sorted[2], b_sorted[0], b_sorted[1]]
+    ref = tum.associate(a, b_sorted)
+    got = tum.associate(a, b_shuffled)
+    # map shuffled indices back: shuffled j -> sorted timestamp
+    assert [(i, b_shuffled[j][0]) for i, j in got] == \
+           [(i, b_sorted[j][0]) for i, j in ref]
+
+
 @pytest.fixture()
 def kitti_dir(tmp_path, rng):
     d = tmp_path / "sequences" / "00"

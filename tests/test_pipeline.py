@@ -30,3 +30,40 @@ def test_device_frames_order_and_content(rng):
 
 def test_device_frames_empty():
     assert list(device_frames(iter([]))) == []
+
+
+def test_producer_exception_propagates(rng):
+    """A corrupt frame mid-sequence must raise in the consumer, not end the
+    stream cleanly on silently truncated data (ADVICE r1, medium)."""
+    def frames():
+        yield (np.zeros((4, 4), np.float32), None)
+        raise IOError("corrupt frame")
+
+    it = device_frames(frames(), prefetch=2)
+    next(it)
+    import pytest
+    with pytest.raises(IOError, match="corrupt frame"):
+        list(it)
+
+
+def test_early_consumer_exit_unblocks_producer():
+    """Breaking out of the stream early must not leave the producer thread
+    blocked forever on a full queue."""
+    import threading
+    produced = []
+
+    def frames():
+        for i in range(100):
+            produced.append(i)
+            yield (np.full((4, 4), i, np.float32), None)
+
+    it = device_frames(frames(), prefetch=1)
+    next(it)
+    it.close()  # consumer stops early -> cancel flag set in finally
+    deadline = threading.Event()
+    # the producer should stop emitting shortly after cancellation
+    deadline.wait(0.5)
+    n_after_close = len(produced)
+    deadline.wait(0.3)
+    assert len(produced) == n_after_close  # no further production
+    assert n_after_close < 100

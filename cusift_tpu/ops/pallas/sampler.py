@@ -48,7 +48,7 @@ def _kernel(lvl_ref, y0_ref, x0_ref,          # scalar prefetch [N]
             g_ref,                            # HBM Gaussian stack [L, Hp, Wp]
             ox_ref, oy_ref,                   # VMEM out blocks [G, S]
             patches, sem,                     # scratch: patches + DMA sems
-            *, pr: int, pc: int, h: int, w: int):
+            *, pr: int, pc: int, h: int, w: int, bf16_dots: bool):
     i = pl.program_id(0)
 
     def dma(j):
@@ -67,40 +67,65 @@ def _kernel(lvl_ref, y0_ref, x0_ref,          # scalar prefetch [N]
     s = ry_ref.shape[1]
     rowi = jax.lax.broadcasted_iota(jnp.int32, (pr, s), 0).astype(jnp.float32)
     coli = jax.lax.broadcasted_iota(jnp.int32, (pc, s), 0).astype(jnp.float32)
-    prow = jax.lax.broadcasted_iota(jnp.int32, (pr, pc), 0)
-    pcol = jax.lax.broadcasted_iota(jnp.int32, (pr, pc), 1)
+
+    # Raw central differences for ALL G patches in one pass over the
+    # flattened [G*PR, PC] block: 2 rolls instead of 16.  The row-axis
+    # roll bleeds one row between adjacent patches, but those rows are
+    # alignment margin outside every sample's hat support (same
+    # wrap-around argument as the module docstring).
+    pall = patches[:].reshape(_G * pr, pc)                     # [G*PR, PC]
+    # pltpu.roll wants non-negative shifts: roll(-1) == roll(n-1)
+    gx_all = 0.5 * (pltpu.roll(pall, pc - 1, 1) - pltpu.roll(pall, 1, 1))
+    gy_all = 0.5 * (pltpu.roll(pall, _G * pr - 1, 0)
+                    - pltpu.roll(pall, 1, 0))
+    prow1 = jax.lax.broadcasted_iota(jnp.int32, (pr, 1), 0)
+    pcol1 = jax.lax.broadcasted_iota(jnp.int32, (1, pc), 1)
+
     for j in range(_G):
         k = i * _G + j
-        # zero-at-border gradient masks from absolute coordinates
-        arow = prow + y0_ref[k]
-        acol = pcol + x0_ref[k]
+        # zero-at-border gradient masks are RANK-1 (x-borders depend only
+        # on the column, y-borders only on the row): two tiny vectors
+        # broadcast instead of full [PR, PC] mask builds
+        arow = prow1 + y0_ref[k]                               # [PR, 1]
+        acol = pcol1 + x0_ref[k]                               # [1, PC]
         my = ((arow > 0) & (arow < h - 1)).astype(jnp.float32)
         mx = ((acol > 0) & (acol < w - 1)).astype(jnp.float32)
-
-        p = patches[j]                                         # [PR, PC]
-        # pltpu.roll wants non-negative shifts: roll(-1) == roll(n-1)
-        gx = (0.5 * (pltpu.roll(p, pc - 1, 1) - pltpu.roll(p, 1, 1))) * mx
-        gy = (0.5 * (pltpu.roll(p, pr - 1, 0) - pltpu.roll(p, 1, 0))) * my
-
+        gx = gx_all[j * pr:(j + 1) * pr] * mx                  # [PR, PC]
+        gy = gy_all[j * pr:(j + 1) * pr] * my
         ry = ry_ref[j, :]                                      # [S]
         rx = rx_ref[j, :]
         wyt = jnp.maximum(0.0, 1.0 - jnp.abs(ry[None, :] - rowi))  # [PR, S]
         wxt = jnp.maximum(0.0, 1.0 - jnp.abs(rx[None, :] - coli))  # [PC, S]
-        # HIGHEST precision: a default bf16 MXU pass costs ~5e-3 absolute
-        # in the sampled gradients, visibly degrading descriptor quality
-        # (Mosaic rejects the cheaper bf16x3 HIGH mode in-kernel).
-        bx = jnp.dot(gx, wxt, precision=jax.lax.Precision.HIGHEST,
-                     preferred_element_type=jnp.float32)       # [PR, S]
-        by = jnp.dot(gy, wxt, precision=jax.lax.Precision.HIGHEST,
-                     preferred_element_type=jnp.float32)
+        if bf16_dots:
+            # Quantising the GRADIENTS (not the patch) to bf16 is safe: a
+            # bf16 pass over the patch values loses ~5e-3 absolute through
+            # cancellation in the central difference, but rounding the
+            # already-differenced gradients costs only ~2^-8 RELATIVE
+            # (~1e-4 absolute at typical gradient magnitudes) — and a
+            # single-pass bf16 MXU dot is 6x the HIGHEST (6-pass) rate.
+            bx = jnp.dot(gx.astype(jnp.bfloat16),
+                         wxt.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)   # [PR, S]
+            by = jnp.dot(gy.astype(jnp.bfloat16),
+                         wxt.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        else:
+            bx = jnp.dot(gx, wxt, precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)   # [PR, S]
+            by = jnp.dot(gy, wxt, precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)
         ox_ref[j, :] = jnp.sum(bx * wyt, axis=0)
         oy_ref[j, :] = jnp.sum(by * wyt, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("pr", "pc", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("pr", "pc", "interpret", "debug_checks",
+                                    "bf16_dots"))
 def sample_grad_patches(gauss: jnp.ndarray, lvl: jnp.ndarray,
                         ys: jnp.ndarray, xs: jnp.ndarray,
-                        pr: int, pc: int = 256, interpret: bool = False):
+                        pr: int, pc: int = 256, interpret: bool = False,
+                        debug_checks: bool = False,
+                        bf16_dots: bool = True):
     """Sample image gradients of `gauss` [L, H, W] at (ys, xs) [N, S].
 
     Gradients are central differences computed in-kernel from one Gaussian
@@ -136,6 +161,28 @@ def sample_grad_patches(gauss: jnp.ndarray, lvl: jnp.ndarray,
     ry = ys - y0[:, None].astype(jnp.float32)
     rx = xs - x0[:, None].astype(jnp.float32)
 
+    if debug_checks:
+        # SURVEY.md §5.2 bounds sanitizer: the kernel DMAs [y0:y0+pr,
+        # x0:x0+pc] from HBM at Mosaic-aligned offsets and evaluates hat
+        # weights needing rows floor(ry)..floor(ry)+1 inside the patch —
+        # checkify so interpret-mode tests fail loudly on any violation
+        # instead of silently reading a neighbouring tile.
+        from jax.experimental import checkify
+        checkify.check(jnp.all((y0 >= 0) & (y0 + pr <= hp)),
+                       "sampler: patch rows out of the padded stack")
+        checkify.check(jnp.all((x0 >= 0) & (x0 + pc <= wp)),
+                       "sampler: patch cols out of the padded stack")
+        checkify.check(jnp.all(y0 % 8 == 0),
+                       "sampler: patch row corner not sublane-aligned")
+        checkify.check(jnp.all(x0 % 128 == 0),
+                       "sampler: patch col corner not lane-aligned")
+        checkify.check(jnp.all((ry >= 0.0) & (ry <= pr - 1.0)),
+                       "sampler: sample row outside patch support")
+        checkify.check(jnp.all((rx >= 0.0) & (rx <= pc - 1.0)),
+                       "sampler: sample col outside patch support")
+        checkify.check(jnp.all((lvl >= 0) & (lvl < l)),
+                       "sampler: level index out of range")
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n // _G,),
@@ -158,7 +205,8 @@ def sample_grad_patches(gauss: jnp.ndarray, lvl: jnp.ndarray,
         ],
     )
     dx, dy = pl.pallas_call(
-        functools.partial(_kernel, pr=pr, pc=pc, h=h, w=w),
+        functools.partial(_kernel, pr=pr, pc=pc, h=h, w=w,
+                          bf16_dots=bf16_dots),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n, s), jnp.float32),
                    jax.ShapeDtypeStruct((n, s), jnp.float32)],

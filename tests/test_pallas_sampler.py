@@ -32,7 +32,7 @@ def test_matches_xla_path(rng):
     gauss, lvl, ys, xs = _setup(rng)
     dx_r, dy_r, inb_r = _xla_reference(gauss, lvl, ys, xs)
     dx, dy, inb = sample_grad_patches(gauss, lvl, ys, xs, pr=48,
-                                      interpret=True)
+                                      interpret=True, bf16_dots=False)
     m = np.asarray(inb_r)
     np.testing.assert_array_equal(np.asarray(inb), m)
     np.testing.assert_allclose(np.asarray(dx)[m], np.asarray(dx_r)[m],
@@ -46,7 +46,7 @@ def test_small_level_padding(rng):
     gauss, lvl, ys, xs = _setup(rng, L=2, H=24, W=40, N=8, S=36, spread=6.0)
     dx_r, dy_r, inb_r = _xla_reference(gauss, lvl, ys, xs)
     dx, dy, inb = sample_grad_patches(gauss, lvl, ys, xs, pr=32,
-                                      interpret=True)
+                                      interpret=True, bf16_dots=False)
     m = np.asarray(inb_r)
     np.testing.assert_allclose(np.asarray(dx)[m], np.asarray(dx_r)[m],
                                atol=1e-5)
@@ -61,7 +61,7 @@ def test_border_gradients_zero(rng):
     xs = jnp.tile(jnp.linspace(1.0, 126.0, s)[None, :], (n, 1))
     lvl = jnp.zeros(n, jnp.int32)
     dx, dy, inb = sample_grad_patches(gauss, lvl, ys, xs, pr=32,
-                                      interpret=True)
+                                      interpret=True, bf16_dots=False)
     assert bool(np.asarray(inb).all())
     np.testing.assert_allclose(np.asarray(dy), 0.0, atol=1e-6)
 
@@ -98,6 +98,69 @@ def test_fused_octave_matches_xla(rng, test_image):
     np.testing.assert_allclose(sm[m], sr[m], atol=2e-5)
 
 
+def test_checkify_bounds_clean(rng):
+    """SURVEY.md §5.2: checkify-guarded index math passes on adversarial
+    border keypoints (patch corners clipped against every image edge)."""
+    from jax.experimental import checkify
+
+    gauss, lvl, _, _ = _setup(rng, L=3, H=96, W=160, N=16, S=36)
+    # all four corners + centre, samples spilling past the image edges
+    cy = np.array([0.0, 0.0, 95.0, 95.0, 48.0] * 4)[:16].astype(np.float32)
+    cx = np.array([0.0, 159.0, 0.0, 159.0, 80.0] * 4)[:16].astype(np.float32)
+    off = rng.uniform(-8.0, 8.0, (16, 36)).astype(np.float32)
+    ys = jnp.asarray(cy[:, None] + off)
+    xs = jnp.asarray(cx[:, None] + off[:, ::-1])
+
+    checked = checkify.checkify(
+        lambda *a: sample_grad_patches(*a, pr=48, interpret=True,
+                                       debug_checks=True, bf16_dots=False))
+    err, (dx, dy, inb) = checked(gauss, lvl, ys, xs)
+    err.throw()  # no bounds violation
+    # parity unchanged by the checks
+    dx_r, dy_r, inb_r = _xla_reference(gauss, lvl, ys, xs)
+    m = np.asarray(inb_r)
+    np.testing.assert_allclose(np.asarray(dx)[m], np.asarray(dx_r)[m],
+                               atol=1e-5)
+
+
+def test_bf16_dots_error_bounded():
+    """The production bf16 interpolation dots quantise the GRADIENTS, not
+    the patch: error must be small RELATIVE to the gradient magnitude (the
+    rejected full-bf16 pass lost ~5e-3 absolute through central-difference
+    cancellation — see the kernel comment)."""
+    gauss, lvl, ys, xs = _setup(np.random.default_rng(42))
+    dx32, dy32, _ = sample_grad_patches(gauss, lvl, ys, xs, pr=48,
+                                        interpret=True, bf16_dots=False)
+    dx16, dy16, _ = sample_grad_patches(gauss, lvl, ys, xs, pr=48,
+                                        interpret=True, bf16_dots=True)
+    for a32, a16 in ((dx32, dx16), (dy32, dy16)):
+        a32, a16 = np.asarray(a32), np.asarray(a16)
+        scale = np.maximum(np.abs(a32), 0.05)  # unit-variance test data
+        rel = np.abs(a16 - a32) / scale
+        assert np.median(rel) < 4e-3
+        # tail: interpolation across a gradient sign change can leave a
+        # near-zero f32 value whose bf16 counterpart is relatively far off
+        assert rel.max() < 0.1
+
+
+def test_checkify_matcher_idx_bounds(rng):
+    from jax.experimental import checkify
+    from cusift_tpu.config import MatchConfig
+    from cusift_tpu.ops.pallas.matcher import match_pallas
+
+    a = rng.normal(size=(64, 128)).astype(np.float32)
+    b = rng.normal(size=(72, 128)).astype(np.float32)
+    a /= np.linalg.norm(a, axis=-1, keepdims=True)
+    b /= np.linalg.norm(b, axis=-1, keepdims=True)
+    checked = checkify.checkify(
+        lambda *x: match_pallas(*x, MatchConfig(), interpret=True,
+                                debug_checks=True))
+    err, m = checked(jnp.asarray(a), jnp.ones(64, bool),
+                     jnp.asarray(b), jnp.ones(72, bool))
+    err.throw()
+    assert np.asarray(m.idx).max() < 72
+
+
 def test_span_limit_margin(rng):
     """Samples at the documented span limit must not read wrapped lanes.
 
@@ -122,6 +185,6 @@ def test_span_limit_margin(rng):
     lvl = jnp.zeros(n, jnp.int32)
     dx_r, dy_r, _ = _xla_reference(gauss, lvl, ys, xs)
     dx, dy, _ = sample_grad_patches(gauss, lvl, ys, xs, pr=pr,
-                                    interpret=True)
+                                    interpret=True, bf16_dots=False)
     np.testing.assert_allclose(np.asarray(dy), np.asarray(dy_r), atol=1e-5)
     np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_r), atol=1e-5)

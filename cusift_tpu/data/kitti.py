@@ -29,14 +29,31 @@ def load_calib(seq_dir: str) -> np.ndarray:
 
 
 def load_images(seq_dir: str, max_frames: int | None = None,
-                stride: int = 1) -> Iterator[np.ndarray]:
-    import cv2
+                stride: int = 1,
+                use_native: bool = True) -> Iterator[np.ndarray]:
+    """Grayscale left-camera frames in [0, 1].
+
+    Uses the native threaded PNG prefetcher when available (see
+    data/tum.py:load_tum), OpenCV otherwise.
+    """
     d = os.path.join(seq_dir, "image_0")
     names = sorted(os.listdir(d))[::stride]
     if max_frames:
         names = names[:max_frames]
-    for n in names:
-        img = cv2.imread(os.path.join(d, n), cv2.IMREAD_GRAYSCALE)
+    paths = [os.path.join(d, n) for n in names]
+
+    from ..utils import native_loader
+    if use_native and native_loader.native_available():
+        stream = native_loader.FrameStream(paths)
+        try:
+            yield from stream
+        finally:
+            stream.close()
+        return
+
+    import cv2
+    for p in paths:
+        img = cv2.imread(p, cv2.IMREAD_GRAYSCALE)
         if img is not None:
             yield img.astype(np.float32) / 255.0
 

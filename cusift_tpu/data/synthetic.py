@@ -83,7 +83,8 @@ class RGBDSequence(NamedTuple):
 
 def planar_rgbd_sequence(n_frames: int = 12, h: int = 480, w: int = 640,
                          seed: int = 0, plane_depth: float = 2.0,
-                         motion_scale: float = 1.0) -> RGBDSequence:
+                         motion_scale: float = 1.0,
+                         detail: float = 0.0) -> RGBDSequence:
     """Camera orbiting in front of a textured plane z = plane_depth (world).
 
     The plane's image in any camera is an exact homography of the world
@@ -94,7 +95,7 @@ def planar_rgbd_sequence(n_frames: int = 12, h: int = 480, w: int = 640,
     fx, fy, cx, cy = DEFAULT_INTR
     k = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float64)
     k_inv = np.linalg.inv(k)
-    tex = textured_image(h, w, seed=seed, blobs=260)
+    tex = textured_image(h, w, seed=seed, blobs=260, detail=detail)
 
     rs = np.random.default_rng(seed + 7)
     images, depths, rots, trans, stamps = [], [], [], [], []
@@ -140,6 +141,75 @@ def planar_rgbd_sequence(n_frames: int = 12, h: int = 480, w: int = 640,
                         poses_r=np.stack(rots).astype(np.float32),
                         poses_t=np.stack(trans).astype(np.float32),
                         intr=DEFAULT_INTR.copy(), timestamps=np.array(stamps))
+
+
+def two_plane_sequence(n_frames: int = 8, h: int = 480, w: int = 640,
+                       seed: int = 0, near: float = 3.0, far: float = 6.0,
+                       motion_scale: float = 1.0) -> RGBDSequence:
+    """Monocular test scene: two textured fronto-parallel planes.
+
+    A single plane is a DEGENERATE configuration for the essential matrix
+    (its image motion is a pure homography), so monocular-odometry tests
+    need real depth structure: the world splits at x = 0 into a near plane
+    (z = near, left) and a far plane (z = far, right).  Each plane's image
+    is still an exact homography of the world texture, so rendering stays
+    warp-based and the depth map stays analytic.  Poses are world-to-camera.
+    """
+    import cv2
+    # scale the fr1-like intrinsics to the render size (principal point
+    # must stay centred for small test renders)
+    intr = DEFAULT_INTR * np.array([w / 640.0, h / 480.0,
+                                    w / 640.0, h / 480.0], np.float32)
+    fx, fy, cx, cy = intr
+    k = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float64)
+    k_inv = np.linalg.inv(k)
+    tex = textured_image(h, w, seed=seed, blobs=300, detail=0.25)
+    n_w = np.array([0.0, 0.0, 1.0])
+
+    images, depths, rots, trans, stamps = [], [], [], [], []
+    for f in range(n_frames):
+        s = f / max(n_frames - 1, 1)
+        xi = np.array([
+            0.50 * s * motion_scale,                      # dominant sideways
+            0.06 * np.sin(2 * np.pi * s) * motion_scale,  # ty
+            0.25 * s * motion_scale,                      # forward
+            0.02 * np.sin(2 * np.pi * s) * motion_scale,
+            0.05 * s * motion_scale,
+            0.02 * np.sin(4 * np.pi * s) * motion_scale,
+        ])
+        r_wc, t_wc = (np.asarray(a) for a in se3_exp(xi))
+
+        uu, vv = np.meshgrid(np.arange(w), np.arange(h))
+        rays = np.stack([(uu - cx) / fx, (vv - cy) / fy,
+                         np.ones_like(uu, np.float64)], -1)
+        n_c = r_wc @ n_w
+        img_f = np.zeros((h, w), np.float32)
+        depth_f = np.zeros((h, w), np.float64)
+        hit_x = np.full((h, w), np.nan)
+        for plane_d, side in ((near, -1), (far, +1)):
+            h_mat = k @ (r_wc + np.outer(t_wc, n_w) / plane_d) @ k_inv
+            warp = cv2.warpPerspective(tex, h_mat, (w, h),
+                                       flags=cv2.INTER_LINEAR,
+                                       borderMode=cv2.BORDER_REFLECT_101)
+            d_c = plane_d + n_c @ t_wc
+            denom = rays @ n_c
+            z = np.where(np.abs(denom) > 1e-9, d_c / denom, 0.0)
+            # world x of the intersection decides which plane owns the pixel
+            cam_pts = rays * z[..., None]
+            world = (cam_pts - t_wc) @ r_wc          # R^T (X_c - t)
+            own = (world[..., 0] * side >= 0) & (z > 0.05)
+            img_f = np.where(own, warp, img_f)
+            depth_f = np.where(own, z, depth_f)
+            hit_x = np.where(own, world[..., 0], hit_x)
+        images.append(img_f.astype(np.float32))
+        depths.append(depth_f.astype(np.float32))
+        rots.append(r_wc)
+        trans.append(t_wc)
+        stamps.append(f / 10.0)
+    return RGBDSequence(images=np.stack(images), depths=np.stack(depths),
+                        poses_r=np.stack(rots).astype(np.float32),
+                        poses_t=np.stack(trans).astype(np.float32),
+                        intr=intr, timestamps=np.array(stamps))
 
 
 def ba_problem(seed: int = 0, n_cams: int = 6, n_pts: int = 80,

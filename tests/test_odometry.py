@@ -1,0 +1,84 @@
+"""Monocular visual odometry on a synthetic two-plane scene.
+
+GT recovery is up to one global scale (monocular gauge): rotations must
+match absolutely, translations after a single global scale factor — i.e.
+the per-pair scale chaining must hold the RATIO |t_est| / |t_gt| constant.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cusift_tpu.config import MatchConfig, RansacConfig, SiftConfig
+from cusift_tpu.data.evaluation import ate_rmse, kitti_drift
+from cusift_tpu.data.synthetic import two_plane_sequence
+from cusift_tpu.models.odometry import MonoVO, _masked_median
+
+SIFT = SiftConfig(max_kpts=768, max_kpts_per_octave=512, num_octaves=4,
+                  upscale=False)
+
+
+def test_masked_median():
+    v = jnp.asarray(np.array([5.0, 1.0, 9.0, 3.0, 7.0], np.float32))
+    m = jnp.asarray(np.array([True, False, True, True, True]))
+    assert float(_masked_median(v, m)) == 5.0  # median of {5, 9, 3, 7} -> 5
+    assert np.isinf(float(_masked_median(v, jnp.zeros(5, bool))))
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return two_plane_sequence(n_frames=6, h=240, w=320, seed=3,
+                              near=3.0, far=6.0, motion_scale=0.6)
+
+
+def test_mono_vo_recovers_trajectory_up_to_scale(seq):
+    vo = MonoVO(seq.intr, sift_cfg=SIFT,
+                ransac_cfg=RansacConfig(inlier_thresh_epi=4e-3))
+    est_r, est_t = vo.run(list(seq.images))
+    assert len(est_r) == 6
+    assert all(s["ok"] for s in vo.stats)
+    assert all(s["inliers"] > 60 for s in vo.stats)
+    # scale chaining engaged from pair 2 on
+    assert all(s["scale_common"] >= 8 for s in vo.stats[1:])
+
+    # rotations are scale-free: compare directly (est poses start at I,
+    # GT starts at identity too in this generator)
+    for k in (1, 3, 5):
+        r_rel_est = est_r[k] @ est_r[k - 1].T
+        r_rel_gt = seq.poses_r[k] @ seq.poses_r[k - 1].T
+        assert np.abs(r_rel_est - r_rel_gt).max() < 0.02
+
+    # translation magnitude ratio must be CONSTANT over pairs (the chain
+    # holds one global scale) ...
+    ratios = []
+    for k in range(1, 6):
+        te = est_t[k] - (est_r[k] @ est_r[k - 1].T) @ est_t[k - 1]
+        tg = seq.poses_t[k] - (seq.poses_r[k] @ seq.poses_r[k - 1].T) \
+            @ seq.poses_t[k - 1]
+        ratios.append(np.linalg.norm(te) / max(np.linalg.norm(tg), 1e-9))
+    ratios = np.array(ratios)
+    assert ratios.std() / ratios.mean() < 0.15
+
+    # ... and the Sim3-aligned ATE must be small
+    ate = ate_rmse(est_r, est_t, seq.poses_r, seq.poses_t, with_scale=True)
+    path = np.linalg.norm(np.diff(
+        -np.einsum("nij,ni->nj", seq.poses_r, seq.poses_t), axis=0),
+        axis=-1).sum()
+    # ~6-7% of path on this crude 240p scene; the bound guards regressions
+    assert ate < 0.09 * path
+
+
+def test_kitti_drift_zero_for_exact(seq):
+    t_pc, r_dpm = kitti_drift(seq.poses_r, seq.poses_t,
+                              seq.poses_r, seq.poses_t,
+                              lengths=(0.1, 0.2), step=1)
+    # float32 poses: arccos near 1 floors the recoverable angle at ~3e-4
+    # rad, inflated by the short normalisation lengths used here
+    assert t_pc < 1e-3 and r_dpm < 0.5
+
+
+def test_kitti_drift_detects_scale_error(seq):
+    est_t = seq.poses_t * 1.2  # 20% scale error -> ~20% translation drift
+    t_pc, _ = kitti_drift(seq.poses_r, est_t, seq.poses_r, seq.poses_t,
+                          lengths=(0.1, 0.2), step=1)
+    assert 10.0 < t_pc < 35.0

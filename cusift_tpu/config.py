@@ -155,6 +155,9 @@ class RansacConfig:
     num_hypotheses: int = 1024          # static hypothesis batch (thread-per-hyp analog)
     inlier_thresh: float = 3.0          # px reprojection error (homography)
     inlier_thresh_3d: float = 0.05      # metres (rigid RGB-D)
+    # Sampson epipolar error in NORMALISED camera coords (pixels / focal);
+    # 2e-3 ~ 1.4 px at KITTI's f~700 (essential-matrix RANSAC, monocular)
+    inlier_thresh_epi: float = 2e-3
     refine_iters: int = 5               # IRLS rounds on the winner's inliers
     min_matches: int = 8
     seed: int = 0
@@ -200,6 +203,13 @@ class SlamConfig:
     loop_temporal_gap: int = 20         # keyframes; ignore recent neighbours
     loop_min_inliers: int = 40          # geometric verification gate
     checkpoint_every: int = 0           # keyframes between checkpoints (0 = off)
+    # sliding-window local BA (BASELINE north star "extract+match+BA"):
+    # bundle-adjust the last `local_ba_window` keyframes on every insert
+    # once the window is full; 0 disables.  The two oldest window poses
+    # are the gauge anchors (pins the 7-dof similarity gauge).
+    local_ba_window: int = 5
+    local_ba_iters: int = 5             # LM iterations per insert
+    local_ba_cg_iters: int = 15         # PCG iterations on the camera system
 
 
 @dataclass(frozen=True)

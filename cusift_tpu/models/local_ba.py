@@ -1,0 +1,90 @@
+"""Sliding-window local bundle adjustment for the SLAM backend.
+
+BASELINE north star: "extract + match + BA at real-time frames/s" — the
+round-1 SLAM backend only ran pose-graph optimisation on loop closure;
+this module bundle-adjusts the landmarks seen by the last W keyframes
+every time a keyframe is inserted (the standard local-BA backend step).
+
+TPU shape: the whole thing — cross-keyframe data association (descriptor
+matching on the MXU), landmark initialisation from the newest keyframe's
+RGB-D backprojections, and the LM/Schur/PCG solve (`optim/ba.py`) — is
+ONE jitted static-shape program over the fixed window [W, N, ...] slices
+of the keyframe ring.  One dispatch + one packed pose fetch per keyframe
+insert; nothing recompiles as the map grows (window indices are device
+data, window size is static).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import BAConfig, MatchConfig
+from ..ops.geometry import project
+from ..ops.match import match
+from ..optim.ba import BAProblem, lm_loop
+
+
+@partial(jax.jit, static_argnames=("match_cfg", "ba_cfg"))
+def window_ba(kf_desc, kf_valid, kf_pts, poses_r, poses_t, intr,
+              win_mask,
+              match_cfg: MatchConfig = MatchConfig(),
+              ba_cfg: BAConfig = BAConfig(max_iters=5, cg_iters=15,
+                                          num_fixed_poses=2,
+                                          huber_delta=4.0),
+              gate_px: float = 25.0):
+    """Local BA over a keyframe window; newest keyframe anchors landmarks.
+
+    kf_desc [W, N, 128], kf_valid [W, N], kf_pts [W, N, 3] (camera-frame
+    backprojections), poses_r/t [W] world-to-camera, win_mask [W] (0 pads
+    a window larger than the current map — padded cameras contribute no
+    observations and keep their input pose).  Window order is
+    oldest-first; the newest keyframe is index W-1, the oldest real
+    keyframe is fixed as the gauge anchor.
+
+    Returns (poses_r [W,3,3], poses_t [W,3], initial_cost, final_cost).
+    """
+    w, n = kf_valid.shape
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+
+    # landmarks: the newest keyframe's valid backprojections, in world
+    anchor = w - 1
+    pts_j = kf_pts[anchor]                                   # [N, 3]
+    valid_j = kf_valid[anchor] & (pts_j[:, 2] > 1e-6)
+    r_j, t_j = poses_r[anchor], poses_t[anchor]
+    points_w = (pts_j - t_j) @ r_j                           # R^T (X_c - t)
+
+    # data association: newest -> every window keyframe (the anchor row
+    # matches itself exactly; kept — it contributes its own observation)
+    def assoc(desc_k, valid_k, pts_k, r_k, t_k):
+        m = match(kf_desc[anchor], valid_j, desc_k, valid_k, match_cfg)
+        pk = pts_k[m.idx]                                    # [N, 3]
+        uv = project(pk, fx, fy, cx, cy)
+        ok = m.ok & valid_j & (pk[:, 2] > 1e-6)
+        # projection gate: a descriptor match whose pixel position is far
+        # from the landmark's predicted projection under the CURRENT pose
+        # estimate is a misassociation — Huber blunts these but enough of
+        # them still set the cost floor and stall LM
+        pred = project(points_w @ r_k.T + t_k, fx, fy, cx, cy)
+        ok = ok & (jnp.sum((uv - pred) ** 2, -1) < gate_px ** 2)
+        return uv, ok
+
+    uv, ok = jax.vmap(assoc)(kf_desc, kf_valid, kf_pts,
+                             poses_r, poses_t)               # [W, N, 2/..]
+    ok = ok & (win_mask[:, None] > 0)
+
+    cam_idx = jnp.repeat(jnp.arange(w, dtype=jnp.int32), n)
+    pt_idx = jnp.tile(jnp.arange(n, dtype=jnp.int32), w)
+    prob = BAProblem(
+        poses_r=poses_r, poses_t=poses_t, points=points_w, intr=intr,
+        cam_idx=cam_idx, pt_idx=pt_idx, uv=uv.reshape(-1, 2),
+        w=ok.reshape(-1).astype(jnp.float32))
+    res = lm_loop(prob, ba_cfg)
+    # padded cameras keep their (meaningless) input pose; real cameras
+    # take the optimised one
+    keep = win_mask[:, None, None] > 0
+    r_out = jnp.where(keep, res.poses_r, poses_r)
+    t_out = jnp.where(keep[..., 0], res.poses_t, poses_t)
+    return r_out, t_out, res.initial_cost, res.cost

@@ -27,9 +27,10 @@ from ..data.evaluation import ate_rmse
 from ..ops.geometry import backproject
 from ..ops.match import match
 from ..ops.ransac import find_rigid
+from ..config import BAConfig, PoseGraphConfig
 from ..optim.lie import compose, inverse, se3_log
 from ..optim.posegraph import PoseGraph, optimize as pg_optimize
-from ..config import PoseGraphConfig
+from .local_ba import window_ba
 from .sift import extract
 
 
@@ -352,6 +353,7 @@ class Slam:
             # odometry edge ref -> j measured T_ref * T_j^-1
             o_r, o_t = rel_r.T, -(rel_r.T @ rel_t)
             self._add_edge(ref, j, o_r, o_t, 1.0)
+            self._local_ba()
             loop_found = self._try_loop_closure(j, desc, valid, pts)
             s.traj_ref.append(j)
             s.traj_rel_r.append(np.eye(3, dtype=np.float32))
@@ -490,6 +492,36 @@ class Slam:
         s.n_closures += 1
         self._optimize_graph()
         return True
+
+    def _local_ba(self):
+        """Sliding-window BA over the last W keyframes (north-star BA step).
+
+        One jitted dispatch + one packed pose fetch (window_ba); runs only
+        once the window is full so the two oldest window poses are always
+        distinct gauge anchors.  The LM loop accepts steps only when they
+        reduce the reprojection cost, so a degenerate window (few shared
+        landmarks) leaves the poses untouched rather than corrupting them.
+        """
+        w = self.cfg.local_ba_window
+        s = self.state
+        if w < 3 or s.n_kf < w:
+            return
+        idxs = np.arange(s.n_kf - w, s.n_kf)
+        di = jnp.asarray(idxs)
+        ba_cfg = BAConfig(max_iters=self.cfg.local_ba_iters,
+                          cg_iters=self.cfg.local_ba_cg_iters,
+                          num_fixed_poses=2,
+                          huber_delta=4.0)  # px: blunts misassociations
+        r, t, c0, c1 = window_ba(
+            s.kf_desc[di], s.kf_valid[di], s.kf_pts[di],
+            jnp.asarray(s.kf_pose_r[idxs]), jnp.asarray(s.kf_pose_t[idxs]),
+            self.intr, jnp.ones(w, jnp.float32),
+            self.match_cfg, ba_cfg)
+        packed = np.array(jnp.concatenate(
+            [r.reshape(-1), t.reshape(-1),
+             jnp.stack([c0, c1])]))                  # the one fetch
+        s.kf_pose_r[idxs] = packed[:w * 9].reshape(w, 3, 3)
+        s.kf_pose_t[idxs] = packed[w * 9:w * 12].reshape(w, 3)
 
     def _optimize_graph(self):
         s = self.state

@@ -1,0 +1,105 @@
+"""Sliding-window local BA (models/local_ba.py) — BASELINE north-star BA.
+
+Unit: perturbed keyframe poses over a synthetic RGB-D scene must move
+back toward ground truth.  Integration: SLAM with local BA enabled must
+not be worse than pose-graph-only on a drift-prone (noisy-depth) run.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cusift_tpu.config import (BAConfig, MatchConfig, RansacConfig,
+                               SiftConfig, SlamConfig, replace)
+from cusift_tpu.data.synthetic import planar_rgbd_sequence
+from cusift_tpu.models.local_ba import window_ba
+from cusift_tpu.models.slam import Slam, _extract_with_points
+from cusift_tpu.optim.lie import se3_exp
+
+SIFT = SiftConfig(max_kpts=384, max_kpts_per_octave=256, num_octaves=3)
+
+
+def _window_from_sequence(seq, idxs):
+    descs, valids, ptss = [], [], []
+    for i in idxs:
+        f, pts, _ = _extract_with_points(
+            jnp.asarray(seq.images[i]), jnp.asarray(seq.depths[i]),
+            jnp.asarray(seq.intr), SIFT)
+        descs.append(f.desc)
+        valids.append(f.valid)
+        ptss.append(pts)
+    return jnp.stack(descs), jnp.stack(valids), jnp.stack(ptss)
+
+
+def test_window_ba_recovers_perturbed_poses():
+    # detail adds corner-rich texture: the bare blob field yields only
+    # ~30 keypoints at this size — too few shared landmarks for BA
+    seq = planar_rgbd_sequence(6, 240, 320, seed=5, motion_scale=0.8,
+                               detail=0.3)
+    idxs = [0, 1, 2, 3, 4]
+    kd, kv, kp = _window_from_sequence(seq, idxs)
+    gt_r = seq.poses_r[idxs]
+    gt_t = seq.poses_t[idxs]
+
+    rs = np.random.default_rng(0)
+    pert_r, pert_t = gt_r.copy(), gt_t.copy()
+    for k in (2, 3, 4):  # first two stay exact (gauge anchors)
+        dr, dt = (np.asarray(a) for a in
+                  se3_exp(rs.normal(scale=0.02, size=6)))
+        pert_r[k] = dr @ gt_r[k]
+        pert_t[k] = dr @ gt_t[k] + dt
+
+    r, t, c0, c1 = window_ba(
+        kd, kv, kp, jnp.asarray(pert_r), jnp.asarray(pert_t),
+        jnp.asarray(seq.intr), jnp.ones(5, jnp.float32),
+        MatchConfig(), BAConfig(max_iters=20, cg_iters=40, num_fixed_poses=2,
+                                huber_delta=4.0))
+    assert float(c1) < float(c0) * 0.01   # LM converges on the inlier set
+    # the meaningful criterion: perturbed poses move back toward GT (the
+    # residual floor is the weak anchoring through the two fixed cameras'
+    # few observations, measured ~3x error reduction on this scene)
+    err_before = np.abs(pert_t[2:] - gt_t[2:]).max()
+    err_after = np.abs(np.asarray(t)[2:] - gt_t[2:]).max()
+    assert err_after < err_before * 0.5
+    rot_before = np.abs(pert_r[2:] - gt_r[2:]).max()
+    rot_after = np.abs(np.asarray(r)[2:] - gt_r[2:]).max()
+    assert rot_after < rot_before * 0.5
+
+
+def test_window_ba_noop_on_masked_window():
+    seq = planar_rgbd_sequence(4, 120, 160, seed=6, motion_scale=0.5)
+    idxs = [0, 1, 2, 3]
+    kd, kv, kp = _window_from_sequence(seq, idxs)
+    r0 = jnp.asarray(seq.poses_r[idxs])
+    t0 = jnp.asarray(seq.poses_t[idxs])
+    r, t, _, _ = window_ba(kd, kv, kp, r0, t0, jnp.asarray(seq.intr),
+                           jnp.zeros(4, jnp.float32), MatchConfig(),
+                           BAConfig(max_iters=2, cg_iters=5,
+                                    num_fixed_poses=2))
+    np.testing.assert_allclose(np.asarray(r), np.asarray(r0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(t0), atol=1e-6)
+
+
+def test_slam_with_local_ba_not_worse():
+    """Windowed BA in the SLAM loop: ATE no worse than pose-graph-only
+    under depth noise (the drift source local BA is meant to absorb)."""
+    seq = planar_rgbd_sequence(10, 240, 320, seed=7, motion_scale=1.2)
+    rs = np.random.default_rng(1)
+    noisy_depth = seq.depths * (1.0 + rs.normal(scale=0.01,
+                                                size=seq.depths.shape)
+                                ).astype(np.float32)
+
+    def run(local_w):
+        slam_cfg = SlamConfig(max_keyframes=16, kf_min_inliers=120,
+                              kf_max_translation=0.08, kf_max_rotation=0.08,
+                              local_ba_window=local_w)
+        s = Slam(seq.intr, sift_cfg=SIFT, slam_cfg=slam_cfg,
+                 ransac_cfg=RansacConfig(num_hypotheses=256))
+        s.run(zip(seq.images, noisy_depth))
+        return s.ate(seq.poses_r, seq.poses_t), s
+
+    ate_off, _ = run(0)
+    ate_on, slam_on = run(4)
+    assert slam_on.state.n_kf >= 4          # the window actually ran
+    assert ate_on <= ate_off * 1.1 + 1e-4   # BA never makes it worse

@@ -63,9 +63,12 @@ def _residuals(xi: jnp.ndarray, g: PoseGraph) -> jnp.ndarray:
 
 
 @f32_matmuls
-def cost(g: PoseGraph) -> jnp.ndarray:
+def cost(g: PoseGraph, axis_name=None) -> jnp.ndarray:
+    """Total weighted cost; with `axis_name`, g's edges are the local
+    shard and the scalar is psum-reduced (SURVEY.md §2.4 D5)."""
     r = _residuals(jnp.zeros((g.poses_r.shape[0], 6)), g)
-    return 0.5 * jnp.sum(r ** 2)
+    c = 0.5 * jnp.sum(r ** 2)
+    return jax.lax.psum(c, axis_name) if axis_name is not None else c
 
 
 def _cg(matvec, b, iters: int, tol: float):
@@ -92,13 +95,25 @@ def _cg(matvec, b, iters: int, tol: float):
 
 
 @f32_matmuls
-@partial(jax.jit, static_argnames=("cfg",))
-def optimize(g: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig()) -> PoseGraphResult:
-    """LM on the pose graph; gauge fixed by freezing pose 0 (optional)."""
+def lm_loop(g: PoseGraph, cfg: PoseGraphConfig,
+            axis_name=None) -> PoseGraphResult:
+    """LM on the pose graph; gauge fixed by freezing pose 0 (optional).
+
+    Runs standalone (axis_name=None) or inside shard_map with poses
+    replicated and edges sharded over `axis_name` — the trajectory-
+    partitioned distributed pose graph of SURVEY.md §2.4 D5: each device
+    owns a contiguous keyframe chunk's edges, cross-chunk constraint
+    contributions (the [N, 6] J^T r / J^T J x vectors) ride one psum per
+    application, and every device runs the identical replicated CG, so
+    the distributed result is bit-for-bit the single-device math.
+    """
     n = g.poses_r.shape[0]
     mask = jnp.ones((n, 6))
     if cfg.fix_first_pose:
         mask = mask.at[0].set(0.0)
+
+    def psum_(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
     def body(carry, _):
         g, lam, cur = carry
@@ -108,23 +123,30 @@ def optimize(g: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig()) -> PoseGrap
         def normal_mv(x):
             x = x * mask
             _, jx = jax.jvp(lambda xi: _residuals(xi, g), (zero,), (x,))
-            jtjx = vjp_fn(jx)[0]
+            jtjx = psum_(vjp_fn(jx)[0])
             return (jtjx + lam * x) * mask
 
-        b = -vjp_fn(res0)[0] * mask
+        b = -psum_(vjp_fn(res0)[0]) * mask
         dx = _cg(normal_mv, b, cfg.cg_iters, cfg.cg_tol) * mask
         dr, dt = se3_exp(dx)
         r2 = dr @ g.poses_r
         t2 = (dr @ g.poses_t[..., None])[..., 0] + dt
         cand = g._replace(poses_r=r2, poses_t=t2)
-        cnew = cost(cand)
+        cnew = cost(cand, axis_name)
         accept = jnp.isfinite(cnew) & (cnew < cur)
         g2 = jax.tree.map(lambda a, b: jnp.where(accept, b, a), g, cand)
         lam2 = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e6)
         return (g2, lam2, jnp.where(accept, cnew, cur)), None
 
-    c0 = cost(g)
+    c0 = cost(g, axis_name)
     init = (g, jnp.asarray(cfg.init_damping, jnp.float32), c0)
     (gf, _, cf), _ = jax.lax.scan(body, init, None, length=cfg.max_iters)
     return PoseGraphResult(poses_r=gf.poses_r, poses_t=gf.poses_t,
                            cost=cf, initial_cost=c0)
+
+
+@f32_matmuls
+@partial(jax.jit, static_argnames=("cfg",))
+def optimize(g: PoseGraph, cfg: PoseGraphConfig = PoseGraphConfig()) -> PoseGraphResult:
+    """Single-device pose-graph optimisation (jitted LM loop)."""
+    return lm_loop(g, cfg)

@@ -74,6 +74,70 @@ def test_distributed_ba_various_shard_counts():
                                    rtol=1e-3, atol=1e-4)
 
 
+def test_match_pairs_sharded_matches_single():
+    from cusift_tpu.config import MatchConfig
+    from cusift_tpu.ops.match import match
+    from cusift_tpu.parallel.sharded import match_pairs_sharded
+
+    rng = np.random.default_rng(5)
+    da = rng.normal(size=(8, 64, 128)).astype(np.float32)
+    db = rng.normal(size=(8, 64, 128)).astype(np.float32)
+    da /= np.linalg.norm(da, axis=-1, keepdims=True)
+    db /= np.linalg.norm(db, axis=-1, keepdims=True)
+    va = np.ones((8, 64), bool)
+    vb = np.ones((8, 64), bool)
+    vb[:, 10] = False
+    cfg = MatchConfig(ratio_thresh=0.95)
+    mesh = make_mesh(frames=8, map_=1)
+    got = match_pairs_sharded(jnp.asarray(da), jnp.asarray(va),
+                              jnp.asarray(db), jnp.asarray(vb), mesh, cfg)
+    for i in (0, 3, 7):
+        ref = match(jnp.asarray(da[i]), jnp.asarray(va[i]),
+                    jnp.asarray(db[i]), jnp.asarray(vb[i]), cfg)
+        np.testing.assert_array_equal(np.asarray(got.idx[i]), np.asarray(ref.idx))
+        np.testing.assert_array_equal(np.asarray(got.ok[i]), np.asarray(ref.ok))
+        np.testing.assert_allclose(np.asarray(got.dist[i]), np.asarray(ref.dist),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_distributed_posegraph_matches_single():
+    """D5: trajectory-partitioned pose graph == single-device optimize."""
+    from cusift_tpu.config import PoseGraphConfig
+    from cusift_tpu.data.synthetic import pose_ring
+    from cusift_tpu.optim.posegraph import PoseGraph, optimize
+    from cusift_tpu.parallel.dist_pg import (distributed_pg_optimize,
+                                             partition_edges)
+
+    ring = pose_ring(n=24, drift=0.03, seed=2)
+    cfg = PoseGraphConfig(max_iters=10, cg_iters=50)
+    g_single = PoseGraph(
+        poses_r=jnp.asarray(ring["init_r"]), poses_t=jnp.asarray(ring["init_t"]),
+        edge_i=jnp.asarray(ring["edge_i"]), edge_j=jnp.asarray(ring["edge_j"]),
+        meas_r=jnp.asarray(ring["meas_r"]), meas_t=jnp.asarray(ring["meas_t"]),
+        weight=jnp.asarray(np.ones(len(ring["edge_i"]), np.float32)))
+    ref = optimize(g_single, cfg)
+    assert float(ref.cost) < float(ref.initial_cost)
+
+    for n_shards in (2, 8):
+        mesh = map_mesh(n_shards)
+        parts = partition_edges(ring["edge_i"], ring["edge_j"],
+                                ring["meas_r"], ring["meas_t"],
+                                np.ones(len(ring["edge_i"]), np.float32),
+                                n_shards)
+        g = PoseGraph(poses_r=jnp.asarray(ring["init_r"]),
+                      poses_t=jnp.asarray(ring["init_t"]),
+                      **{k: jnp.asarray(v) for k, v in parts.items()})
+        dist = distributed_pg_optimize(g, mesh, cfg)
+        np.testing.assert_allclose(float(dist.cost), float(ref.cost),
+                                   rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(dist.poses_t),
+                                   np.asarray(ref.poses_t),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dist.poses_r),
+                                   np.asarray(ref.poses_r),
+                                   rtol=1e-3, atol=1e-4)
+
+
 def test_retrieval_scores():
     rng = np.random.default_rng(0)
     db = rng.normal(size=(6, 32, 128)).astype(np.float32)

@@ -30,7 +30,7 @@ def _build() -> str | None:
             and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
         return _SO
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           "-pthread", _SRC, "-o", _SO]
+           "-pthread", _SRC, "-o", _SO, "-lz"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return _SO

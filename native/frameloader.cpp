@@ -7,15 +7,20 @@
 // conversion, which this module does natively with a worker pool and a
 // bounded prefetch ring so the accelerator never waits on the disk.
 //
-// Formats: PGM P5 (8/16-bit), PPM P6 (8-bit, converted to grayscale), and
-// raw .npy float32/uint8/uint16 2-D arrays.  Output is always float32:
-// grayscale in [0,1] or depth scaled by a caller-provided factor.
+// Formats: PNG (8/16-bit gray/RGB/with-alpha, non-interlaced; zlib
+// inflate + unfilter implemented here — this is what TUM RGB/depth and
+// KITTI grayscale actually ship as), PGM P5 (8/16-bit), PPM P6
+// (converted to grayscale), and raw .npy float32/uint8/uint16 2-D
+// arrays.  Output is always float32: grayscale in [0,1] or depth scaled
+// by a caller-provided factor.
 //
 // C API (ctypes-friendly, no C++ types across the boundary):
 //   fl_open(paths, n_paths, n_threads, queue_depth, scale) -> handle
 //   fl_next(handle, out_buf, capacity, &h, &w) -> index or <0 when done
 //   fl_close(handle)
 //   fl_decode(path, out_buf, capacity, &h, &w, scale) -> 0 ok (one-shot)
+
+#include <zlib.h>
 
 #include <atomic>
 #include <condition_variable>
@@ -151,9 +156,132 @@ bool decode_npy(const std::vector<uint8_t>& b, float scale, Frame& f) {
   return true;
 }
 
+// ---------- PNG (zlib inflate + per-row unfilter) ----------
+
+bool inflate_all(const uint8_t* src, size_t n, std::vector<uint8_t>& out) {
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (inflateInit(&zs) != Z_OK) return false;
+  out.clear();
+  std::vector<uint8_t> buf(1 << 16);
+  zs.next_in = const_cast<Bytef*>(src);
+  zs.avail_in = static_cast<uInt>(n);
+  int rc = Z_OK;
+  while (rc != Z_STREAM_END) {
+    zs.next_out = buf.data();
+    zs.avail_out = static_cast<uInt>(buf.size());
+    rc = inflate(&zs, Z_NO_FLUSH);
+    if (rc != Z_OK && rc != Z_STREAM_END) { inflateEnd(&zs); return false; }
+    out.insert(out.end(), buf.data(),
+               buf.data() + (buf.size() - zs.avail_out));
+    if (rc != Z_STREAM_END && zs.avail_in == 0 && zs.avail_out != 0) break;
+  }
+  inflateEnd(&zs);
+  return rc == Z_STREAM_END;
+}
+
+bool decode_png(const std::vector<uint8_t>& b, float scale, Frame& f) {
+  static const uint8_t sig[8] = {0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a};
+  if (b.size() < 8 + 25 || std::memcmp(b.data(), sig, 8) != 0) return false;
+  auto u32 = [&](size_t p) -> uint32_t {
+    return (uint32_t(b[p]) << 24) | (uint32_t(b[p + 1]) << 16) |
+           (uint32_t(b[p + 2]) << 8) | b[p + 3];
+  };
+  size_t pos = 8;
+  int64_t w = 0, h = 0;
+  int depth = 0, ctype = -1, interlace = 0;
+  std::vector<uint8_t> idat;
+  while (pos + 12 <= b.size()) {
+    const uint32_t len = u32(pos);
+    if (pos + 12 + len > b.size()) return false;
+    const char* tag = reinterpret_cast<const char*>(b.data() + pos + 4);
+    const uint8_t* data = b.data() + pos + 8;
+    if (std::memcmp(tag, "IHDR", 4) == 0) {
+      if (len < 13) return false;
+      w = u32(pos + 8);
+      h = u32(pos + 12);
+      depth = data[8];
+      ctype = data[9];
+      interlace = data[12];
+    } else if (std::memcmp(tag, "IDAT", 4) == 0) {
+      idat.insert(idat.end(), data, data + len);
+    } else if (std::memcmp(tag, "IEND", 4) == 0) {
+      break;
+    }
+    pos += 12 + len;
+  }
+  if (w <= 0 || h <= 0 || w * h > (int64_t(1) << 28) || interlace != 0)
+    return false;
+  if (depth != 8 && depth != 16) return false;
+  int ch;
+  switch (ctype) {  // palette (3) deliberately unsupported
+    case 0: ch = 1; break;   // gray (KITTI, TUM depth)
+    case 2: ch = 3; break;   // RGB (TUM rgb)
+    case 4: ch = 2; break;   // gray + alpha
+    case 6: ch = 4; break;   // RGBA
+    default: return false;
+  }
+  std::vector<uint8_t> raw;
+  if (!inflate_all(idat.data(), idat.size(), raw)) return false;
+  const size_t bpp = static_cast<size_t>(ch) * depth / 8;
+  const size_t stride = static_cast<size_t>(w) * bpp;
+  if (raw.size() < (stride + 1) * static_cast<size_t>(h)) return false;
+
+  std::vector<uint8_t> img(stride * h);
+  for (int64_t y = 0; y < h; y++) {
+    const uint8_t ft = raw[(stride + 1) * y];
+    const uint8_t* src = raw.data() + (stride + 1) * y + 1;
+    uint8_t* dst = img.data() + stride * y;
+    const uint8_t* up = y ? img.data() + stride * (y - 1) : nullptr;
+    for (size_t x = 0; x < stride; x++) {
+      const int a = x >= bpp ? dst[x - bpp] : 0;
+      const int u = up ? up[x] : 0;
+      const int c = (up && x >= bpp) ? up[x - bpp] : 0;
+      int v = src[x];
+      switch (ft) {
+        case 0: break;
+        case 1: v += a; break;
+        case 2: v += u; break;
+        case 3: v += (a + u) / 2; break;
+        case 4: {  // Paeth
+          const int p = a + u - c;
+          const int pa = std::abs(p - a), pb = std::abs(p - u),
+                    pc = std::abs(p - c);
+          v += (pa <= pb && pa <= pc) ? a : (pb <= pc ? u : c);
+          break;
+        }
+        default: return false;
+      }
+      dst[x] = static_cast<uint8_t>(v);
+    }
+  }
+
+  const int maxv = (depth == 16) ? 65535 : 255;
+  const float inv = (scale > 0.f) ? scale : 1.0f / static_cast<float>(maxv);
+  const int sb = depth / 8;  // 16-bit samples are big-endian (PNG spec)
+  auto sample = [&](const uint8_t* p, int c_) -> float {
+    const uint8_t* q = p + c_ * sb;
+    return (sb == 2) ? static_cast<float>((q[0] << 8) | q[1])
+                     : static_cast<float>(q[0]);
+  };
+  f.h = static_cast<int>(h);
+  f.w = static_cast<int>(w);
+  f.data.resize(static_cast<size_t>(w) * h);
+  for (size_t i = 0; i < f.data.size(); i++) {
+    const uint8_t* p = img.data() + i * bpp;
+    const float v = (ch >= 3)
+        ? 0.299f * sample(p, 0) + 0.587f * sample(p, 1) +
+              0.114f * sample(p, 2)
+        : sample(p, 0);
+    f.data[i] = v * inv;
+  }
+  return true;
+}
+
 bool decode_path(const std::string& path, float scale, Frame& f) {
   std::vector<uint8_t> buf;
   if (!read_file(path, buf)) return false;
+  if (decode_png(buf, scale, f)) return true;
   if (decode_pnm(buf, scale, f)) return true;
   if (decode_npy(buf, scale, f)) return true;
   return false;

@@ -36,19 +36,27 @@ def cmd_demo(args):
     from .config import MatchConfig, RansacConfig, SiftConfig
     from .models.twoview import match_pair
     from .data.synthetic import warped_pair
+    from .utils.image import pad_to_tier
 
     if args.image_a and args.image_b:
         img_a = _load_image(args.image_a)
         img_b = _load_image(args.image_b)
+        # canonical shape tiers: arbitrary input sizes share one compiled
+        # program per tier (SURVEY.md §7 hard part #5); features landing in
+        # the zero-pad apron are masked out below
+        (img_a, (ha, wa)) = pad_to_tier(img_a)
+        (img_b, (hb, wb)) = pad_to_tier(img_b)
     else:
         print("no images given; using a synthetic ground-truth warped pair")
         img_a, img_b, _ = warped_pair(480, 640, seed=1, blobs=1200)
+        (ha, wa), (hb, wb) = img_a.shape, img_b.shape
 
     t0 = time.time()
+    sift_cfg = SiftConfig(max_kpts=args.max_kpts,
+                          max_kpts_per_octave=args.max_kpts // 2)
     res = match_pair(jnp.asarray(img_a), jnp.asarray(img_b),
-                     SiftConfig(max_kpts=args.max_kpts,
-                                max_kpts_per_octave=args.max_kpts // 2),
-                     MatchConfig(), RansacConfig())
+                     sift_cfg, MatchConfig(), RansacConfig(),
+                     content_a=(ha, wa), content_b=(hb, wb))
     h = np.asarray(res.homography.h)
     print(f"features A: {int(res.feats_a.count)}   B: {int(res.feats_b.count)}")
     print(f"matches: {int(np.asarray(res.matches.ok).sum())}   "
@@ -56,6 +64,14 @@ def cmd_demo(args):
           f"({time.time() - t0:.1f}s incl. compile)")
     print("homography:")
     print(np.array2string(h, precision=4, suppress_small=True))
+    if args.viz:
+        from .utils.viz import draw_keypoints, draw_matches
+        draw_keypoints(img_a, res.feats_a, f"{args.viz}_kpts_a.png")
+        draw_keypoints(img_b, res.feats_b, f"{args.viz}_kpts_b.png")
+        draw_matches(img_a, res.feats_a, img_b, res.feats_b, res.matches,
+                     inliers=np.asarray(res.homography.inliers),
+                     path=f"{args.viz}_matches.png")
+        print(f"overlays written to {args.viz}_*.png")
 
 
 def cmd_slam(args):
@@ -68,18 +84,19 @@ def cmd_slam(args):
     from .data.synthetic import planar_rgbd_sequence
 
     writer = JsonlWriter(args.metrics) if args.metrics else None
+    timestamps: list[float] = []
     if args.tum:
         if not tum_mod.available(args.tum):
             sys.exit(f"TUM sequence not found at {args.tum}")
         intr = tum_mod.intrinsics_for(args.tum)
         frames = tum_mod.load_tum(args.tum, max_frames=args.frames or None)
-        gt = None
         seq = None
     else:
         n = args.synthetic or 12
         seq = planar_rgbd_sequence(n_frames=n, h=480, w=640, seed=0,
                                    motion_scale=0.8)
         intr = seq.intr
+        timestamps = list(seq.timestamps)
         frames = ((seq.images[i], seq.depths[i]) for i in range(n))
 
     slam = Slam(intr,
@@ -91,8 +108,11 @@ def cmd_slam(args):
 
     def as_pairs(items):
         for item in items:
-            yield ((item.image, item.depth)
-                   if hasattr(item, "image") else item)
+            if hasattr(item, "image"):
+                timestamps.append(item.timestamp)
+                yield (item.image, item.depth)
+            else:
+                yield item
 
     def on_metric(rec):      # streamed, so interrupted runs keep metrics
         if writer:
@@ -117,6 +137,14 @@ def cmd_slam(args):
     if args.save:
         slam.checkpoint(args.save)
         print(f"state saved to {args.save}")
+    if args.save_trajectory:
+        from .utils.viz import save_trajectory_tum
+        est_r, est_t = slam.trajectory()
+        ts = timestamps if len(timestamps) == len(est_r) \
+            else np.arange(len(est_r), dtype=np.float64)
+        save_trajectory_tum(args.save_trajectory, ts, est_r, est_t)
+        print(f"trajectory ({len(est_r)} poses, TUM format) "
+              f"written to {args.save_trajectory}")
 
 
 def cmd_sfm(args):
@@ -141,6 +169,65 @@ def cmd_sfm(args):
           f"{ate_rmse(rec.poses_r, rec.poses_t, seq.poses_r, seq.poses_t):.4f} m")
 
 
+def cmd_odo(args):
+    """Monocular visual odometry (BASELINE configs[4] frontend).
+
+    --kitti SEQ_DIR runs a real KITTI odometry sequence (optionally with
+    --poses for ground-truth drift metrics); with no dataset a synthetic
+    two-plane scene exercises the identical pipeline.
+    """
+    from .config import RansacConfig, SiftConfig
+    from .data import kitti as kitti_mod
+    from .data.evaluation import ate_rmse, kitti_drift
+    from .data.synthetic import two_plane_sequence
+    from .models.odometry import MonoVO
+
+    gt = None
+    if args.kitti:
+        if not kitti_mod.available(args.kitti):
+            sys.exit(f"KITTI sequence not found at {args.kitti}")
+        intr = kitti_mod.load_calib(args.kitti)
+        frames = kitti_mod.load_images(args.kitti,
+                                       max_frames=args.frames or None)
+        if args.poses:
+            poses = kitti_mod.load_poses(args.poses)
+            gt = (np.stack([p[0] for p in poses]),
+                  np.stack([p[1] for p in poses]))
+    else:
+        n = args.synthetic or 8
+        print("no dataset given; using a synthetic two-plane scene")
+        seq = two_plane_sequence(n_frames=n, h=480, w=640, seed=0)
+        intr = seq.intr
+        frames = iter(seq.images)
+        gt = (seq.poses_r, seq.poses_t)
+
+    vo = MonoVO(intr,
+                sift_cfg=SiftConfig(max_kpts=args.max_kpts,
+                                    max_kpts_per_octave=args.max_kpts // 2),
+                ransac_cfg=RansacConfig())
+    t0 = time.time()
+    est_r, est_t = vo.run(frames, max_frames=args.frames or None)
+    dt = time.time() - t0
+    n_frames = len(est_r)
+    ok = sum(1 for s in vo.stats if s["ok"])
+    print(f"processed {n_frames} frames in {dt:.1f}s "
+          f"({n_frames / dt:.2f} frames/s incl. compile); "
+          f"{ok}/{len(vo.stats)} pairs tracked")
+    if gt is not None:
+        gt_r, gt_t = gt[0][:n_frames], gt[1][:n_frames]
+        ate = ate_rmse(est_r, est_t, gt_r, gt_t, with_scale=True)
+        t_pc, r_dpm = kitti_drift(est_r, est_t, gt_r, gt_t)
+        print(f"ATE RMSE (Sim3-aligned) {ate:.4f} m")
+        print(f"KITTI drift: {t_pc:.2f} % translation, "
+              f"{r_dpm:.4f} deg/m rotation")
+    if args.save_trajectory:
+        from .utils.viz import save_trajectory_tum
+        save_trajectory_tum(args.save_trajectory,
+                            np.arange(n_frames, dtype=np.float64),
+                            est_r, est_t)
+        print(f"trajectory written to {args.save_trajectory}")
+
+
 def cmd_dist(args):
     """Multi-device pipeline: sharded extraction + distributed Schur BA.
 
@@ -154,9 +241,12 @@ def cmd_dist(args):
     from .config import BAConfig, SiftConfig
     from .data.synthetic import ba_problem, textured_image
     from .parallel.dist_ba import distributed_bundle_adjust, partition_by_landmark
-    from .parallel.mesh import make_mesh, map_mesh
+    from .parallel.mesh import init_distributed, make_mesh, map_mesh
     from .parallel.sharded import extract_frames
 
+    # multi-host bootstrap (no-op without JAX_COORDINATOR_ADDRESS): on a
+    # real pod slice every host runs this same command under the launcher
+    init_distributed()
     devs = jax.devices()
     counts = [n for n in (1, 2, 4, 8, 16) if n <= len(devs)]
     print(f"{len(devs)} device(s): {devs[0].platform}")
@@ -195,6 +285,8 @@ def main(argv=None):
     d.add_argument("--image-a")
     d.add_argument("--image-b")
     d.add_argument("--max-kpts", type=int, default=2048)
+    d.add_argument("--viz", help="write keypoint/match overlay PNGs "
+                                 "with this path prefix")
     d.set_defaults(fn=cmd_demo)
 
     s = sub.add_parser("slam", help="RGB-D SLAM over a sequence")
@@ -205,7 +297,21 @@ def main(argv=None):
     s.add_argument("--metrics", help="JSONL metrics output path")
     s.add_argument("--save", help="checkpoint output path")
     s.add_argument("--checkpoint-every", type=int, default=0)
+    s.add_argument("--save-trajectory",
+                   help="write the per-frame trajectory in TUM format")
     s.set_defaults(fn=cmd_slam)
+
+    o = sub.add_parser("odo", help="monocular visual odometry "
+                                   "(KITTI; BASELINE configs[4] frontend)")
+    o.add_argument("--kitti", help="KITTI sequence directory "
+                                   "(sequences/NN)")
+    o.add_argument("--poses", help="KITTI ground-truth pose file "
+                                   "(poses/NN.txt)")
+    o.add_argument("--synthetic", type=int, help="use N synthetic frames")
+    o.add_argument("--frames", type=int, default=0)
+    o.add_argument("--max-kpts", type=int, default=1024)
+    o.add_argument("--save-trajectory")
+    o.set_defaults(fn=cmd_odo)
 
     f = sub.add_parser("sfm", help="small incremental SfM + BA")
     f.add_argument("--synthetic", type=int)

@@ -42,15 +42,45 @@ def _correspondences(fa: SiftFeatures, fb: SiftFeatures, m: Matches):
     return pa, pb, m.ok
 
 
+def mask_to_content(f: SiftFeatures, content, border: int) -> SiftFeatures:
+    """Invalidate features outside a [h, w] content region.
+
+    Supports the canonical shape tiers (`utils/image.py:pad_to_tier`): an
+    image zero-padded up to a tier produces spurious strong responses
+    along the content/pad boundary; this masks them out.  `content` is a
+    TRACED [2] array, so every image size within a tier shares one
+    compiled program.
+    """
+    if content is None:
+        return f
+    h = content[0].astype(jnp.float32)
+    w = content[1].astype(jnp.float32)
+    b = float(border)
+    valid = (f.valid & (f.x >= b) & (f.x < w - b)
+             & (f.y >= b) & (f.y < h - b))
+    return f._replace(valid=valid)
+
+
 @partial(jax.jit, static_argnames=("sift_cfg", "match_cfg", "ransac_cfg"))
 def match_pair(img_a: jnp.ndarray, img_b: jnp.ndarray,
                sift_cfg: SiftConfig = SiftConfig(),
                match_cfg: MatchConfig = MatchConfig(),
                ransac_cfg: RansacConfig = RansacConfig(),
-               key: jax.Array | None = None) -> TwoViewResult:
-    """Full grayscale pair pipeline -> features, matches, homography."""
-    fa = extract(img_a, sift_cfg)
-    fb = extract(img_b, sift_cfg)
+               key: jax.Array | None = None,
+               content_a=None, content_b=None) -> TwoViewResult:
+    """Full grayscale pair pipeline -> features, matches, homography.
+
+    content_a/content_b: optional (h, w) of the true image content when
+    the inputs are tier-padded (see `mask_to_content`).
+    """
+    if content_a is not None:
+        content_a = jnp.asarray(content_a)
+    if content_b is not None:
+        content_b = jnp.asarray(content_b)
+    fa = mask_to_content(extract(img_a, sift_cfg), content_a,
+                         sift_cfg.border)
+    fb = mask_to_content(extract(img_b, sift_cfg), content_b,
+                         sift_cfg.border)
     m = match(fa.desc, fa.valid, fb.desc, fb.valid, match_cfg)
     pa, pb, ok = _correspondences(fa, fb, m)
     h = find_homography(pa, pb, ok, ransac_cfg, key)

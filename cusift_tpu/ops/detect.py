@@ -53,24 +53,29 @@ def _extrema_mask(dog: jnp.ndarray, prefilter: float) -> jnp.ndarray:
 def _gather_cubes(dog: jnp.ndarray, lvl, y, x) -> jnp.ndarray:
     """One batched gather of 3x3x3 DoG neighbourhoods: [K, 3, 3, 3].
 
-    Flat single-element take with a static 27-point stencil: (lvl, y, x)
-    are pre-clipped to the stack interior, so plain flat-index arithmetic
-    is exact.  Both alternatives lose badly on v5e: vmapped
-    ``dynamic_slice`` / multi-dim (3,3,3)-slice gathers cost ~25 ms/frame,
-    and a dense 10-channel derivative precompute pays ~250 MB of HBM
-    traffic per upscaled octave.
+    Nine lane-minor (1, 1, 3)-slice gathers (one per (dz, dy) of the
+    stencil): TPU gathers pay per INDEX, and a contiguous 3-wide slice in
+    the minor (lane) dimension is nearly free, so this fetches a cube
+    with 9K indices where the earlier 27-static-offset flat-take form
+    paid 27K (measured ~2x on v5e — the refinement was the largest
+    remaining stage).  Forms that lose badly and were measured out:
+    vmapped ``dynamic_slice`` / multi-dim (3,3,3)-slice gathers
+    (~25 ms/frame), a [K, 27] advanced-index gather (27-lane output pads
+    to 128 lanes), and a dense 10-channel derivative precompute (~250 MB
+    HBM per upscaled octave).  (lvl, y, x) are pre-clipped to the stack
+    interior, so every slice is in range.
     """
-    s, h, w = dog.shape
-    flat = dog.reshape(-1)
-    base = (lvl * h + y) * w + x                               # [K]
-    # 27 takes with STATIC offsets off one index vector: XLA fuses these
-    # into a slice-style gather whose cost is per-INDEX, not per-element —
-    # measured 2x faster than a single [K, 27] advanced-index gather
-    # (whose 27-lane output pads to 128 lanes)
-    vals = [jnp.take(flat, base + int(o), mode="clip")
-            for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
-            for o in (dz * h * w + dy * w + dx,)]
-    return jnp.stack(vals, -1).reshape(-1, 3, 3, 3)
+    k = lvl.shape[0]
+    dn = lax.GatherDimensionNumbers(offset_dims=(1,),
+                                    collapsed_slice_dims=(0, 1),
+                                    start_index_map=(0, 1, 2))
+    rows = []
+    for dz in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            starts = jnp.stack([lvl + dz, y + dy, x - 1], -1)  # [K, 3]
+            rows.append(lax.gather(dog, starts, dn, slice_sizes=(1, 1, 3),
+                                   mode=lax.GatherScatterMode.CLIP))
+    return jnp.stack(rows, 1).reshape(k, 3, 3, 3)
 
 
 def _solve_at(dog, lvl, y, x):

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..config import SiftConfig
 from .keypoints import Keypoints
-from .sampling import sample_grad_pair
+from .sampling import sample_grad_grid
 
 
 def _grid_offsets(g: int) -> np.ndarray:
@@ -48,12 +48,16 @@ def orientation_histograms(gauss: jnp.ndarray, kps: Keypoints,
     offs = jnp.asarray(_grid_offsets(g))                       # [S, 2]
     sigma_oct = cfg.sigma0 * 2.0 ** (kps.so / cfg.scales_per_octave)  # [K]
     radius = cfg.ori_radius_factor * sigma_oct                 # [K]
-    ys = kps.yo[:, None] + radius[:, None] * offs[None, :, 0]  # [K, S]
-    xs = kps.xo[:, None] + radius[:, None] * offs[None, :, 1]
+    # the grid is axis-aligned and square: its S = g*g samples factor
+    # into g distinct rows x g distinct cols (row-major, matching
+    # _grid_offsets' meshgrid-ij ravel), unlocking the separable sampler
+    c1d = jnp.asarray((np.arange(g, dtype=np.float32) + 0.5) / g * 2.0 - 1.0)
+    ys_rows = kps.yo[:, None] + radius[:, None] * c1d[None, :]  # [K, g]
+    xs_cols = kps.xo[:, None] + radius[:, None] * c1d[None, :]
     lvl = jnp.clip(kps.level - level_base, 0, gauss.shape[0] - 1)
 
     span = 2.0 * cfg.ori_radius_factor * cfg.sigma_oct_max
-    dx, dy, inb = sample_grad_pair(gauss, lvl, ys, xs,
+    dx, dy, inb = sample_grad_grid(gauss, lvl, ys_rows, xs_cols,
                                    span_rows=span, method=cfg.sampler)
     mag = jnp.sqrt(dx * dx + dy * dy)
     ang = jnp.arctan2(dy, dx)                                  # [-pi, pi]

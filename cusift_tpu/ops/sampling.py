@@ -80,6 +80,38 @@ def bilinear_sample_pair(stack2: jnp.ndarray, lvl: jnp.ndarray,
     return v[..., 0], v[..., 1], inb
 
 
+def sample_grad_grid(gauss: jnp.ndarray, lvl: jnp.ndarray,
+                     ys_rows: jnp.ndarray, xs_cols: jnp.ndarray, *,
+                     span_rows: float, method: str = "auto"):
+    """Gradient sampling on an AXIS-ALIGNED per-slot grid.
+
+    ys_rows [K, GR] and xs_cols [K, GC] define the grid; returns
+    (dx, dy, inb) shaped [K, GR*GC] in row-major order.
+
+    The orientation stage's fixed square grid is separable, and a kernel
+    evaluating each slot as two skinny hat-weight matmuls exists
+    (ops/pallas/sampler.py:_kernel_sep) — but it MEASURED SLOWER than
+    the general kernel on v5e (14.7 vs 11.7 ms on the batch-8 ori
+    stage): the 12-lane weight/output tiles pad to full 128-lane
+    registers and the miniature MXU dots pay fixed overhead that dwarfs
+    the weight-build savings (docs/kernels.md).  All backends therefore
+    expand the grid and use the general path; the separable kernel stays
+    available for wider grids where the trade could flip.
+    """
+    if method == "separable":  # opt-in: measured slower at grid 12
+        from .pallas.sampler import sample_grad_patches_sep
+        pr = -(-(int(span_rows) + 12) // 8) * 8
+        pc = -(-(int(span_rows) + 132) // 128) * 128
+        return sample_grad_patches_sep(gauss, lvl, ys_rows, xs_cols,
+                                       pr=pr, pc=pc)
+    k, gr = ys_rows.shape
+    gc = xs_cols.shape[1]
+    ys = jnp.broadcast_to(ys_rows[:, :, None], (k, gr, gc)).reshape(k, -1)
+    xs = jnp.broadcast_to(xs_cols[:, None, :], (k, gr, gc)).reshape(k, -1)
+    return sample_grad_pair(gauss, lvl, ys, xs, span_rows=span_rows,
+                            method=method)
+
+
 def sample_grad_pair(gauss: jnp.ndarray, lvl: jnp.ndarray,
                      ys: jnp.ndarray, xs: jnp.ndarray, *, span_rows: float,
                      method: str = "auto"):

@@ -143,6 +143,36 @@ def test_bf16_dots_error_bounded():
         assert rel.max() < 0.1
 
 
+def test_separable_grid_matches_general():
+    """_kernel_sep (axis-aligned grid as two skinny matmuls) == the
+    general sampler on the expanded grid, within bf16-dot tolerance."""
+    from cusift_tpu.ops.pallas.sampler import sample_grad_patches_sep
+
+    rng2 = np.random.default_rng(7)
+    gauss, lvl, _, _ = _setup(rng2, L=3, H=96, W=160, N=16, S=16)
+    gr, gc = 12, 12
+    cy = rng2.uniform(20, 76, 16).astype(np.float32)
+    cx = rng2.uniform(20, 140, 16).astype(np.float32)
+    rad = rng2.uniform(5.0, 14.0, 16).astype(np.float32)
+    c1d = (np.arange(gr, dtype=np.float32) + 0.5) / gr * 2.0 - 1.0
+    ys_rows = jnp.asarray(cy[:, None] + rad[:, None] * c1d[None, :])
+    xs_cols = jnp.asarray(cx[:, None] + rad[:, None] * c1d[None, :])
+
+    dx, dy, inb = sample_grad_patches_sep(gauss, lvl, ys_rows, xs_cols,
+                                          pr=48, interpret=True)
+    ys = np.broadcast_to(np.asarray(ys_rows)[:, :, None], (16, gr, gc))
+    xs = np.broadcast_to(np.asarray(xs_cols)[:, None, :], (16, gr, gc))
+    dx_r, dy_r, inb_r = _xla_reference(gauss, lvl,
+                                       jnp.asarray(ys.reshape(16, -1)),
+                                       jnp.asarray(xs.reshape(16, -1)))
+    np.testing.assert_array_equal(np.asarray(inb), np.asarray(inb_r))
+    m = np.asarray(inb_r)
+    for a, b in ((dx, dx_r), (dy, dy_r)):
+        a, b = np.asarray(a)[m], np.asarray(b)[m]
+        scale = np.maximum(np.abs(b), 0.05)
+        assert np.median(np.abs(a - b) / scale) < 8e-3
+
+
 def test_checkify_matcher_idx_bounds(rng):
     from jax.experimental import checkify
     from cusift_tpu.config import MatchConfig

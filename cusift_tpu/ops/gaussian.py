@@ -65,12 +65,84 @@ def _conv1d(img: jnp.ndarray, taps: np.ndarray, axis: int) -> jnp.ndarray:
     return out
 
 
-def blur(img: jnp.ndarray, sigma: float, radius: int | None = None) -> jnp.ndarray:
-    """Separable Gaussian blur of a [..., H, W] image; sigma is static."""
+def _band_matrix(taps: np.ndarray, block: int = 128) -> np.ndarray:
+    """[block + 2r, block] banded correlation operator (static constant).
+
+    out[c] = sum_j taps[j] * window[c + j]  ->  T[k, c] = taps[k - c].
+    """
+    r = (taps.shape[0] - 1) // 2
+    t = np.zeros((block + 2 * r, block), np.float32)
+    for c in range(block):
+        t[c:c + 2 * r + 1, c] = taps
+    return t
+
+
+def _conv1d_mxu(img: jnp.ndarray, taps: np.ndarray, axis: int,
+                block: int = 128) -> jnp.ndarray:
+    """Separable conv as blocked banded MXU matmuls.
+
+    The VPU shifted-add form (`_conv1d`) is instruction-issue-bound on
+    v5e (~2.5 ms per 960x1280 octave while its HBM traffic is worth
+    ~0.2 ms): each tap is one vector instruction per 8x128 register.  A
+    128-wide output block instead contracts its [block + 2r] input
+    window against a static banded [block+2r, block] operator on the
+    MXU at precision HIGH (bf16x3 passes, ~1e-7 relative — safe for the
+    downstream DoG differences, unlike a single bf16 pass).  FLOP count
+    rises ~(2r+1)/3-fold over the dense-band minimum but the MXU rate
+    dwarfs the VPU issue rate.
+    """
+    r = (taps.shape[0] - 1) // 2
+    ax = axis % img.ndim
+    n = img.shape[ax]
+    nb = -(-n // block)
+    x = _reflect_pad(img, r, ax)
+    if nb * block != n:  # zero-tail so every window is full
+        pad = [(0, 0)] * img.ndim
+        pad[ax] = (0, nb * block - n)
+        x = jnp.pad(x, pad)
+    t = jnp.asarray(_band_matrix(taps, block))                 # [B+2r, B]
+
+    win = block + 2 * r
+    sl_all = [slice(None)] * img.ndim
+    windows = []
+    for b in range(nb):
+        sl = list(sl_all)
+        sl[ax] = slice(b * block, b * block + win)
+        windows.append(x[tuple(sl)])
+    w = jnp.stack(windows)                                     # [nb, ..., win(ax)]
+
+    if ax == img.ndim - 1:
+        out = jnp.einsum("...k,kc->...c", w, t,
+                         precision=jax.lax.Precision.HIGH,
+                         preferred_element_type=jnp.float32)
+        out = jnp.moveaxis(out, 0, -2)                         # [..., nb, B]
+        out = out.reshape(out.shape[:-2] + (nb * block,))
+    else:
+        assert ax == img.ndim - 2
+        out = jnp.einsum("...kw,kc->...cw", w, t,
+                         precision=jax.lax.Precision.HIGH,
+                         preferred_element_type=jnp.float32)
+        out = jnp.moveaxis(out, 0, -3)                         # [..., nb, B, W]
+        out = out.reshape(out.shape[:-3] + (nb * block,) + out.shape[-1:])
+    sl = list(sl_all)
+    sl[ax] = slice(0, n)
+    return out[tuple(sl)]
+
+
+def blur(img: jnp.ndarray, sigma: float, radius: int | None = None,
+         backend: str = "auto") -> jnp.ndarray:
+    """Separable Gaussian blur of a [..., H, W] image; sigma is static.
+
+    backend: "auto" (MXU banded matmuls on TPU, VPU shifted adds
+    elsewhere), "mxu", or "vpu".
+    """
     if float(sigma) <= 0.0:
         return img
     taps = gaussian_taps(sigma, radius)
-    return _conv1d(_conv1d(img, taps, axis=-2), taps, axis=-1)
+    if backend == "auto":
+        backend = "mxu" if jax.default_backend() == "tpu" else "vpu"
+    conv = _conv1d_mxu if backend == "mxu" else _conv1d
+    return conv(conv(img, taps, axis=-2), taps, axis=-1)
 
 
 def downsample2(img: jnp.ndarray) -> jnp.ndarray:

@@ -94,6 +94,10 @@ def _kernel(lvl_ref, y0_ref, x0_ref,          # scalar prefetch [N]
         gy = gy_all[j * pr:(j + 1) * pr] * my
         ry = ry_ref[j, :]                                      # [S]
         rx = rx_ref[j, :]
+        # NOTE: the hat-weight build must stay f32 — bf16 at coordinate
+        # magnitudes ~PC quantises to quarter-pixel steps, destroying the
+        # bilinear interpolation (only the post-difference VALUES are
+        # bf16-safe, same principle as the gradient quantisation).
         wyt = jnp.maximum(0.0, 1.0 - jnp.abs(ry[None, :] - rowi))  # [PR, S]
         wxt = jnp.maximum(0.0, 1.0 - jnp.abs(rx[None, :] - coli))  # [PC, S]
         if bf16_dots:

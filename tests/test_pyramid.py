@@ -48,3 +48,19 @@ def test_up_down_sample(test_image):
     assert up.shape == (2 * test_image.shape[0], 2 * test_image.shape[1])
     down = np.asarray(downsample2(test_image))
     np.testing.assert_allclose(down, test_image[::2, ::2])
+
+
+def test_blur_mxu_matches_vpu(rng):
+    """The banded-matmul (MXU) conv == the shifted-add (VPU) form.
+
+    On CPU precision HIGH is exact f32, so the comparison checks the
+    banded-operator construction and block stitching bit-tight; the TPU
+    bf16x3 pass adds only ~1e-7 relative (safe for DoG differences)."""
+    from cusift_tpu.ops.gaussian import blur
+
+    for shape in ((96, 160), (2, 120, 130), (41, 257)):
+        x = np.asarray(rng.random(shape), np.float32)
+        for sigma in (1.1, 3.6):
+            a = np.asarray(blur(x, sigma, backend="vpu"))
+            b = np.asarray(blur(x, sigma, backend="mxu"))
+            np.testing.assert_allclose(a, b, atol=1e-6)

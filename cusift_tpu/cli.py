@@ -204,7 +204,8 @@ def cmd_odo(args):
     vo = MonoVO(intr,
                 sift_cfg=SiftConfig(max_kpts=args.max_kpts,
                                     max_kpts_per_octave=args.max_kpts // 2),
-                ransac_cfg=RansacConfig())
+                ransac_cfg=RansacConfig(),
+                ba_window=args.ba_window)
     t0 = time.time()
     est_r, est_t = vo.run(frames, max_frames=args.frames or None)
     dt = time.time() - t0
@@ -310,6 +311,9 @@ def main(argv=None):
     o.add_argument("--synthetic", type=int, help="use N synthetic frames")
     o.add_argument("--frames", type=int, default=0)
     o.add_argument("--max-kpts", type=int, default=1024)
+    o.add_argument("--ba-window", type=int, default=0,
+                   help="bundle-adjust the last N frames as they stream "
+                        "(0 = off)")
     o.add_argument("--save-trajectory")
     o.set_defaults(fn=cmd_odo)
 

@@ -40,6 +40,8 @@ class PairOdometry(NamedTuple):
     t_rel: jnp.ndarray        # [3] globally-scaled translation
     scale: jnp.ndarray        # scalar applied to the unit translation
     depth: jnp.ndarray        # [N] triangulated depth per frame-B slot
+    pts: jnp.ndarray          # [N, 3] frame-B camera-frame points
+                              # (triangulated, global scale; z=0 unknown)
     num_inliers: jnp.ndarray  # int32
     scale_common: jnp.ndarray  # int32: tracked points used for the scale
     ok: jnp.ndarray           # bool: essential RANSAC succeeded
@@ -97,9 +99,14 @@ def pair_step(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
     depth_b = jnp.zeros(fb.valid.shape[0], jnp.float32)
     depth_b = depth_b.at[m.idx].set(jnp.where(good, zb * scale, 0.0),
                                     mode="drop")
+    # camera-frame 3D points of frame B from the triangulated depths —
+    # the monocular stand-in for RGB-D backprojections; feeds the same
+    # windowed BA the SLAM backend uses (models/local_ba.py)
+    pts_b = jnp.concatenate([xb_all, jnp.ones_like(xb_all[:, :1])], -1) \
+        * depth_b[:, None]
 
     return PairOdometry(feats=fb, r_rel=res.r, t_rel=res.t * scale,
-                        scale=scale, depth=depth_b,
+                        scale=scale, depth=depth_b, pts=pts_b,
                         num_inliers=res.num_inliers,
                         scale_common=n_common, ok=res.ok)
 
@@ -115,11 +122,14 @@ class MonoVO:
     def __init__(self, intr: np.ndarray,
                  sift_cfg: SiftConfig = SiftConfig(),
                  match_cfg: MatchConfig = MatchConfig(),
-                 ransac_cfg: RansacConfig = RansacConfig()):
+                 ransac_cfg: RansacConfig = RansacConfig(),
+                 ba_window: int = 0, ba_every: int = 2):
         self.intr = jnp.asarray(np.asarray(intr, np.float32))
         self.sift_cfg = sift_cfg
         self.match_cfg = match_cfg
         self.ransac_cfg = ransac_cfg
+        self.ba_window = ba_window       # frames; 0 disables windowed BA
+        self.ba_every = max(1, ba_every)
         self.poses_r = [np.eye(3, dtype=np.float32)]
         self.poses_t = [np.zeros(3, np.float32)]
         self.stats = []
@@ -129,13 +139,19 @@ class MonoVO:
         self._last_rel = (np.eye(3, dtype=np.float32),
                           np.zeros(3, np.float32))
         self._key = jax.random.PRNGKey(ransac_cfg.seed)
+        # device-side ring of (desc, valid, pts) for windowed BA
+        self._ring: list[tuple] = []
 
     def process(self, img: np.ndarray) -> dict | None:
         """Feed the next grayscale frame ([H, W] float in [0, 1])."""
         dimg = jnp.asarray(np.asarray(img, np.float32))
         if self._feats is None:
             self._feats = extract(dimg, self.sift_cfg)
-            self._depth = jnp.zeros(self._feats.valid.shape[0], jnp.float32)
+            n = self._feats.valid.shape[0]
+            self._depth = jnp.zeros(n, jnp.float32)
+            if self.ba_window:
+                self._ring.append((self._feats.desc, self._feats.valid,
+                                   jnp.zeros((n, 3), jnp.float32)))
             return None
         self._key, sub = jax.random.split(self._key)
         fa = self._feats
@@ -161,10 +177,49 @@ class MonoVO:
         self.poses_t.append((r_rel @ t_prev + t_rel).astype(np.float32))
         self._feats = out.feats
         self._depth = out.depth
+        if self.ba_window:
+            valid_pts = out.feats.valid & (out.depth > 1e-6)
+            self._ring.append((out.feats.desc, valid_pts, out.pts))
+            self._ring = self._ring[-self.ba_window:]
+            if (len(self._ring) == self.ba_window
+                    and (len(self.poses_r) - 1) % self.ba_every == 0):
+                self._window_ba()
         stat = dict(inliers=int(n_inl), scale=float(scale),
                     scale_common=int(n_common), ok=bool(ok > 0.5))
         self.stats.append(stat)
         return stat
+
+    def _window_ba(self):
+        """Bundle-adjust the last W frames over triangulated landmarks.
+
+        The exact windowed-BA step the RGB-D SLAM backend runs
+        (models/local_ba.py) with the monocular triangulated depths
+        standing in for RGB-D backprojections; the two oldest window
+        poses anchor the (scale-inclusive) gauge, so the chained
+        monocular scale is preserved rather than re-ambiguated.
+        """
+        from .local_ba import window_ba
+        from ..config import BAConfig
+
+        w = self.ba_window
+        kd = jnp.stack([r[0] for r in self._ring])
+        kv = jnp.stack([r[1] for r in self._ring])
+        kp = jnp.stack([r[2] for r in self._ring])
+        idxs = np.arange(len(self.poses_r) - w, len(self.poses_r))
+        r0 = jnp.asarray(np.stack([self.poses_r[i] for i in idxs]))
+        t0 = jnp.asarray(np.stack([self.poses_t[i] for i in idxs]))
+        r, t, c0, c1 = window_ba(
+            kd, kv, kp, r0, t0, self.intr, jnp.ones(w, jnp.float32),
+            self.match_cfg,
+            BAConfig(max_iters=4, cg_iters=12, num_fixed_poses=2,
+                     huber_delta=4.0))
+        packed = np.array(jnp.concatenate([r.reshape(-1), t.reshape(-1)]))
+        rs = packed[:w * 9].reshape(w, 3, 3)
+        ts = packed[w * 9:].reshape(w, 3)
+        for k, i in enumerate(idxs):
+            self.poses_r[i] = rs[k].astype(np.float32)
+            self.poses_t[i] = ts[k].astype(np.float32)
+        self._last_ba = (float(c0), float(c1))
 
     def run(self, frames, max_frames: int | None = None) -> tuple:
         for i, img in enumerate(frames):

@@ -18,6 +18,8 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--size", type=int, nargs=2, default=(480, 640))
     ap.add_argument("--max-kpts", type=int, default=4096)
+    ap.add_argument("--stages", default="",
+                    help="comma-separated subset (default: all)")
     args = ap.parse_args()
 
     import jax
@@ -103,6 +105,8 @@ def main():
         return (time.perf_counter() - t0) / args.iters, compile_s
 
     stages = ["pyramid", "score", "topk", "detect", "ori", "desc"]
+    if args.stages:
+        stages = [s for s in stages if s in args.stages.split(",")]
     prev = 0.0
     report = {}
     for st in stages:

@@ -68,6 +68,32 @@ def test_mono_vo_recovers_trajectory_up_to_scale(seq):
     assert ate < 0.09 * path
 
 
+def test_mono_vo_windowed_ba_consistent(seq):
+    """VO with the windowed BA backend (triangulated landmarks standing
+    in for RGB-D depth): the solve must strongly reduce reprojection
+    cost and keep trajectory quality in the raw-chaining class.  (On an
+    already-accurate run BA redistributes rather than removes error —
+    the benefit case is drift-prone real sequences; this guards the
+    wiring and that BA can never corrupt a good trajectory.)"""
+    def run(w):
+        vo = MonoVO(seq.intr, sift_cfg=SIFT,
+                    ransac_cfg=RansacConfig(inlier_thresh_epi=4e-3),
+                    ba_window=w, ba_every=1)
+        est_r, est_t = vo.run(list(seq.images))
+        return ate_rmse(est_r, est_t, seq.poses_r, seq.poses_t,
+                        with_scale=True), vo
+
+    ate_raw, _ = run(0)
+    ate_ba, vo_ba = run(4)
+    assert hasattr(vo_ba, "_last_ba")       # the window actually ran
+    c0, c1 = vo_ba._last_ba
+    assert c1 < c0 * 0.2                     # reprojection fit converged
+    path = np.linalg.norm(np.diff(
+        -np.einsum("nij,ni->nj", seq.poses_r, seq.poses_t), axis=0),
+        axis=-1).sum()
+    assert ate_ba <= max(2.0 * ate_raw, 0.03 * path)
+
+
 def test_kitti_drift_zero_for_exact(seq):
     t_pc, r_dpm = kitti_drift(seq.poses_r, seq.poses_t,
                               seq.poses_r, seq.poses_t,

@@ -205,7 +205,8 @@ def cmd_odo(args):
                 sift_cfg=SiftConfig(max_kpts=args.max_kpts,
                                     max_kpts_per_octave=args.max_kpts // 2),
                 ransac_cfg=RansacConfig(),
-                ba_window=args.ba_window)
+                ba_window=args.ba_window,
+                pad_to_tier=args.tier_pad)
     t0 = time.time()
     est_r, est_t = vo.run(frames, max_frames=args.frames or None)
     dt = time.time() - t0
@@ -314,6 +315,9 @@ def main(argv=None):
     o.add_argument("--ba-window", type=int, default=0,
                    help="bundle-adjust the last N frames as they stream "
                         "(0 = off)")
+    o.add_argument("--tier-pad", action="store_true",
+                   help="pad frames to canonical shape tiers so mixed "
+                        "resolutions share compiled programs")
     o.add_argument("--save-trajectory")
     o.set_defaults(fn=cmd_odo)
 

@@ -64,15 +64,21 @@ def pair_step(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
               sift_cfg: SiftConfig = SiftConfig(),
               match_cfg: MatchConfig = MatchConfig(),
               ransac_cfg: RansacConfig = RansacConfig(),
-              key: jax.Array | None = None) -> PairOdometry:
+              key: jax.Array | None = None,
+              content=None) -> PairOdometry:
     """One monocular odometry step: previous features + new image.
 
     depth_a: [N] globally-scaled triangulated depth per frame-A slot from
     the previous pair (0 = unknown; all zeros on the first pair, which
-    then anchors the global scale at |t| = 1).
+    then anchors the global scale at |t| = 1).  `content`: optional
+    traced [2] (h, w) of the true image content when img_b is padded to
+    a canonical shape tier.
     """
     fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
     fb = extract(img_b, sift_cfg)
+    if content is not None:
+        from .twoview import mask_to_content
+        fb = mask_to_content(fb, content, sift_cfg.border)
     m = match(desc_a, valid_a, fb.desc, fb.valid, match_cfg)
 
     xa = jnp.stack([(xy_a[:, 0] - cx) / fx, (xy_a[:, 1] - cy) / fy], -1)
@@ -123,8 +129,14 @@ class MonoVO:
                  sift_cfg: SiftConfig = SiftConfig(),
                  match_cfg: MatchConfig = MatchConfig(),
                  ransac_cfg: RansacConfig = RansacConfig(),
-                 ba_window: int = 0, ba_every: int = 2):
+                 ba_window: int = 0, ba_every: int = 2,
+                 pad_to_tier: bool = False):
         self.intr = jnp.asarray(np.asarray(intr, np.float32))
+        # canonical shape tiers: arbitrary camera resolutions share one
+        # compiled program per tier (utils/image.py); features landing in
+        # the zero-pad apron are masked out after extraction
+        self.pad_to_tier = pad_to_tier
+        self._content = None
         self.sift_cfg = sift_cfg
         self.match_cfg = match_cfg
         self.ransac_cfg = ransac_cfg
@@ -142,11 +154,23 @@ class MonoVO:
         # device-side ring of (desc, valid, pts) for windowed BA
         self._ring: list[tuple] = []
 
+    def _extract(self, dimg):
+        f = extract(dimg, self.sift_cfg)
+        if self._content is not None:
+            from .twoview import mask_to_content
+            f = mask_to_content(f, jnp.asarray(self._content),
+                                self.sift_cfg.border)
+        return f
+
     def process(self, img: np.ndarray) -> dict | None:
         """Feed the next grayscale frame ([H, W] float in [0, 1])."""
-        dimg = jnp.asarray(np.asarray(img, np.float32))
+        img = np.asarray(img, np.float32)
+        if self.pad_to_tier:
+            from ..utils.image import pad_to_tier as _pad
+            img, self._content = _pad(img)
+        dimg = jnp.asarray(img)
         if self._feats is None:
-            self._feats = extract(dimg, self.sift_cfg)
+            self._feats = self._extract(dimg)
             n = self._feats.valid.shape[0]
             self._depth = jnp.zeros(n, jnp.float32)
             if self.ba_window:
@@ -155,9 +179,12 @@ class MonoVO:
             return None
         self._key, sub = jax.random.split(self._key)
         fa = self._feats
+        content = (jnp.asarray(self._content)
+                   if self._content is not None else None)
         out = pair_step(fa.desc, fa.valid, jnp.stack([fa.x, fa.y], -1),
                         self._depth, dimg, self.intr, self._scale,
-                        self.sift_cfg, self.match_cfg, self.ransac_cfg, sub)
+                        self.sift_cfg, self.match_cfg, self.ransac_cfg, sub,
+                        content)
         # one packed fetch for every per-frame scalar (host-link discipline)
         packed = np.array(jnp.concatenate([
             out.r_rel.reshape(-1), out.t_rel,

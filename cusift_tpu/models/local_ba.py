@@ -27,24 +27,16 @@ from ..ops.match import match
 from ..optim.ba import BAProblem, lm_loop
 
 
-@partial(jax.jit, static_argnames=("match_cfg", "ba_cfg"))
-def window_ba(kf_desc, kf_valid, kf_pts, poses_r, poses_t, intr,
-              win_mask,
-              match_cfg: MatchConfig = MatchConfig(),
-              ba_cfg: BAConfig = BAConfig(max_iters=5, cg_iters=15,
-                                          num_fixed_poses=2,
-                                          huber_delta=4.0),
-              gate_px: float = 25.0):
-    """Local BA over a keyframe window; newest keyframe anchors landmarks.
+def build_window_problem(kf_desc, kf_valid, kf_pts, poses_r, poses_t,
+                         intr, win_mask,
+                         match_cfg: MatchConfig = MatchConfig(),
+                         gate_px: float = 25.0) -> BAProblem:
+    """Data association + landmark init for a keyframe window -> BAProblem.
 
-    kf_desc [W, N, 128], kf_valid [W, N], kf_pts [W, N, 3] (camera-frame
-    backprojections), poses_r/t [W] world-to-camera, win_mask [W] (0 pads
-    a window larger than the current map — padded cameras contribute no
-    observations and keep their input pose).  Window order is
-    oldest-first; the newest keyframe is index W-1, the oldest real
-    keyframe is fixed as the gauge anchor.
-
-    Returns (poses_r [W,3,3], poses_t [W,3], initial_cost, final_cost).
+    The shared front half of local BA: usable by the jitted single-device
+    `window_ba` below AND by callers that hand the problem to the
+    distributed Schur solver (`parallel/dist_ba.py`) — e.g. the KITTI
+    odometry chain sharding its map over a mesh (BASELINE configs[5]).
     """
     w, n = kf_valid.shape
     fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
@@ -77,10 +69,34 @@ def window_ba(kf_desc, kf_valid, kf_pts, poses_r, poses_t, intr,
 
     cam_idx = jnp.repeat(jnp.arange(w, dtype=jnp.int32), n)
     pt_idx = jnp.tile(jnp.arange(n, dtype=jnp.int32), w)
-    prob = BAProblem(
+    return BAProblem(
         poses_r=poses_r, poses_t=poses_t, points=points_w, intr=intr,
         cam_idx=cam_idx, pt_idx=pt_idx, uv=uv.reshape(-1, 2),
         w=ok.reshape(-1).astype(jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("match_cfg", "ba_cfg"))
+def window_ba(kf_desc, kf_valid, kf_pts, poses_r, poses_t, intr,
+              win_mask,
+              match_cfg: MatchConfig = MatchConfig(),
+              ba_cfg: BAConfig = BAConfig(max_iters=5, cg_iters=15,
+                                          num_fixed_poses=2,
+                                          huber_delta=4.0),
+              gate_px: float = 25.0):
+    """Local BA over a keyframe window; newest keyframe anchors landmarks.
+
+    kf_desc [W, N, 128], kf_valid [W, N], kf_pts [W, N, 3] (camera-frame
+    backprojections), poses_r/t [W] world-to-camera, win_mask [W] (0 pads
+    a window larger than the current map — padded cameras contribute no
+    observations and keep their input pose).  Window order is
+    oldest-first; the newest keyframe is index W-1, the two oldest real
+    keyframes are the gauge anchors.
+
+    Returns (poses_r [W,3,3], poses_t [W,3], initial_cost, final_cost).
+    """
+    prob = build_window_problem(kf_desc, kf_valid, kf_pts, poses_r,
+                                poses_t, intr, win_mask, match_cfg,
+                                gate_px)
     res = lm_loop(prob, ba_cfg)
     # padded cameras keep their (meaningless) input pose; real cameras
     # take the optimised one

@@ -94,6 +94,49 @@ def test_mono_vo_windowed_ba_consistent(seq):
     assert ate_ba <= max(2.0 * ate_raw, 0.03 * path)
 
 
+def test_mono_window_feeds_distributed_ba(seq):
+    """The full configs[4/5] chain: monocular VO window -> BAProblem ->
+    landmark-sharded distributed Schur BA on the fake 8-device mesh,
+    parity vs the single-device solve."""
+    import jax
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from cusift_tpu.config import BAConfig, MatchConfig
+    from cusift_tpu.models.local_ba import build_window_problem
+    from cusift_tpu.optim.ba import bundle_adjust
+    from cusift_tpu.parallel.dist_ba import (distributed_bundle_adjust,
+                                             partition_by_landmark)
+    from cusift_tpu.parallel.mesh import map_mesh
+
+    vo = MonoVO(seq.intr, sift_cfg=SIFT,
+                ransac_cfg=RansacConfig(inlier_thresh_epi=4e-3),
+                ba_window=4, ba_every=100)  # fill the ring, never solve
+    vo.run(list(seq.images))
+    assert len(vo._ring) == 4
+    kd = jnp.stack([r[0] for r in vo._ring])
+    kv = jnp.stack([r[1] for r in vo._ring])
+    kp = jnp.stack([r[2] for r in vo._ring])
+    idxs = np.arange(len(vo.poses_r) - 4, len(vo.poses_r))
+    r0 = jnp.asarray(np.stack([vo.poses_r[i] for i in idxs]))
+    t0 = jnp.asarray(np.stack([vo.poses_t[i] for i in idxs]))
+    prob = build_window_problem(kd, kv, kp, r0, t0, jnp.asarray(seq.intr),
+                                jnp.ones(4, jnp.float32), MatchConfig())
+    assert float(jnp.sum(prob.w)) > 100  # real observations flowed through
+
+    cfg = BAConfig(max_iters=4, cg_iters=15, num_fixed_poses=2,
+                   huber_delta=4.0)
+    single = bundle_adjust(prob, cfg)
+    parts = partition_by_landmark(
+        {k: np.asarray(v) for k, v in prob._asdict().items()}, 8)
+    dist = distributed_bundle_adjust(parts, map_mesh(8), cfg)
+    np.testing.assert_allclose(float(dist.initial_cost),
+                               float(single.initial_cost), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(dist.poses_t),
+                               np.asarray(single.poses_t),
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_kitti_drift_zero_for_exact(seq):
     t_pc, r_dpm = kitti_drift(seq.poses_r, seq.poses_t,
                               seq.poses_r, seq.poses_t,

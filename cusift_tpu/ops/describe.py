@@ -114,29 +114,48 @@ def descriptors(gauss: jnp.ndarray, slots: Slots,
     # rotated grid: worst-case row extent = d * cell_w * sqrt(2)
     span = (cfg.desc_width * cfg.desc_scale_factor * cfg.sigma_oct_max
             * 1.4143)
-    dx, dy, inb = sample_grad_pair(gauss, lvl, ys, xs,
-                                   span_rows=span, method=cfg.sampler)
-    mag = jnp.sqrt(dx * dx + dy * dy)
-    # Gradient direction rotated into the keypoint frame.  Negated (theta -
-    # grad) to match the classic descriptor's y-up angle convention (image
-    # rows grow downward here); validated against the cv2 oracle in
-    # tests/test_describe.py.
-    ang = th[:, None] - jnp.arctan2(dy, dx)
-    w = mag * gw[None, :] * inb                                # [KM, S]
 
-    # Soft orientation binning as broadcast circular-distance weights
-    # (2 non-zeros per sample; no eye[...] gathers).
-    fbin = (ang / (2.0 * jnp.pi) * nb) % nb
-    bins = jnp.arange(nb, dtype=w.dtype)
-    dist = jnp.abs(fbin[..., None] - bins)                     # [N, S, nb]
-    dist = jnp.minimum(dist, nb - dist)
-    obin = jnp.maximum(0.0, 1.0 - dist)
-    contrib = obin * w[..., None]
+    method = cfg.sampler
+    if method == "auto":
+        method = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if method == "fused" and n % 8 == 0:
+        # OPT-IN fused kernel (sampling + rotated-frame binning + the
+        # spatial contraction in-register).  Measured SLOWER than the
+        # general sampler + XLA einsum on v5e (17.7 vs 11.1 ms desc
+        # stage): the per-slot [nb, S] binning and miniature [8,S]x[S,16]
+        # dot cost more in-kernel than the XLA-fused contraction they
+        # replace (docs/kernels.md)
+        from .pallas.sampler import sample_desc_raw
+        wv = jnp.broadcast_to(gw[None, :], ys.shape)
+        pr = -(-(int(span) + 12) // 8) * 8
+        pc = -(-(int(span) + 132) // 128) * 128
+        raw = sample_desc_raw(gauss, lvl, ys, xs, th, wv, w_spatial,
+                              nb=nb, cells=d * d, pr=pr, pc=pc)
+        desc = jnp.swapaxes(raw, 1, 2).reshape(n, d * d * nb)
+    else:
+        dx, dy, inb = sample_grad_pair(gauss, lvl, ys, xs,
+                                       span_rows=span, method=method)
+        mag = jnp.sqrt(dx * dx + dy * dy)
+        # Gradient direction rotated into the keypoint frame.  Negated
+        # (theta - grad) to match the classic descriptor's y-up angle
+        # convention (image rows grow downward here); validated against
+        # the cv2 oracle in tests/test_extract.py.
+        ang = th[:, None] - jnp.arctan2(dy, dx)
+        w = mag * gw[None, :] * inb                            # [KM, S]
 
-    # MXU contraction: spatial cells x orientation bins.
-    desc = jnp.einsum("sc,ksb->kcb", w_spatial, contrib,
-                      preferred_element_type=jnp.float32)      # [N, 16, 8]
-    desc = desc.reshape(n, d * d * nb)
+        # Soft orientation binning as broadcast circular-distance weights
+        # (2 non-zeros per sample; no eye[...] gathers).
+        fbin = (ang / (2.0 * jnp.pi) * nb) % nb
+        bins = jnp.arange(nb, dtype=w.dtype)
+        dist = jnp.abs(fbin[..., None] - bins)                 # [N, S, nb]
+        dist = jnp.minimum(dist, nb - dist)
+        obin = jnp.maximum(0.0, 1.0 - dist)
+        contrib = obin * w[..., None]
+
+        # MXU contraction: spatial cells x orientation bins.
+        desc = jnp.einsum("sc,ksb->kcb", w_spatial, contrib,
+                          preferred_element_type=jnp.float32)  # [N, 16, 8]
+        desc = desc.reshape(n, d * d * nb)
 
     # normalise -> clip -> renormalise (Lowe)
     norm = jnp.linalg.norm(desc, axis=-1, keepdims=True)

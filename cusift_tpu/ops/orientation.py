@@ -57,15 +57,36 @@ def orientation_histograms(gauss: jnp.ndarray, kps: Keypoints,
     lvl = jnp.clip(kps.level - level_base, 0, gauss.shape[0] - 1)
 
     span = 2.0 * cfg.ori_radius_factor * cfg.sigma_oct_max
-    dx, dy, inb = sample_grad_grid(gauss, lvl, ys_rows, xs_cols,
-                                   span_rows=span, method=cfg.sampler)
-    mag = jnp.sqrt(dx * dx + dy * dy)
-    ang = jnp.arctan2(dy, dx)                                  # [-pi, pi]
 
     # Gaussian weight over the circular support; r in units of sigma.
     r2 = (offs[None, :, 0] ** 2 + offs[None, :, 1] ** 2) * (cfg.ori_radius_factor ** 2)
     wgt = jnp.exp(-r2 / (2.0 * cfg.ori_sigma_factor ** 2))
     wgt = wgt * (r2 <= cfg.ori_radius_factor ** 2)             # circular mask
+
+    method = cfg.sampler
+    if method == "auto":
+        import jax
+        method = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if method == "fused" and kps.yo.shape[0] % 8 == 0:
+        # OPT-IN fused kernel (sampling + polar decomposition + circular
+        # binning in-register).  Measured NEUTRAL vs the general sampler
+        # + XLA binning on v5e (10.1 vs 10.6 ms ori stage, within run
+        # noise): XLA already fuses the [K, S, nb] one-hot contraction,
+        # so removing it from HBM buys nothing (docs/kernels.md)
+        from .pallas.sampler import sample_ori_hist
+        kk, gg = kps.yo.shape[0], g
+        ys = jnp.broadcast_to(ys_rows[:, :, None], (kk, gg, gg)).reshape(kk, -1)
+        xs = jnp.broadcast_to(xs_cols[:, None, :], (kk, gg, gg)).reshape(kk, -1)
+        wv = wgt[0] * kps.valid[:, None]                       # [K, S]
+        pr = -(-(int(span) + 12) // 8) * 8
+        pc = -(-(int(span) + 132) // 128) * 128
+        hist = sample_ori_hist(gauss, lvl, ys, xs, wv, nb, pr=pr, pc=pc)
+        return _smooth_hist(hist)
+
+    dx, dy, inb = sample_grad_grid(gauss, lvl, ys_rows, xs_cols,
+                                   span_rows=span, method=method)
+    mag = jnp.sqrt(dx * dx + dy * dy)
+    ang = jnp.arctan2(dy, dx)                                  # [-pi, pi]
     w = mag * wgt * inb * kps.valid[:, None]                   # [K, S]
 
     # Soft 2-bin assignment as a broadcast contraction: the linear-interp

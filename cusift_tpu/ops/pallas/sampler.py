@@ -185,6 +185,295 @@ def _kernel_sep(lvl_ref, y0_ref, x0_ref,      # scalar prefetch [N]
         oy_ref[j] = oy
 
 
+def _sample_slot(gx, gy, ry, rx, rowi, coli, bf16_dots: bool):
+    """Shared per-slot separable-bilinear sampling -> (dx, dy) [S]."""
+    wyt = jnp.maximum(0.0, 1.0 - jnp.abs(ry[None, :] - rowi))  # [PR, S]
+    wxt = jnp.maximum(0.0, 1.0 - jnp.abs(rx[None, :] - coli))  # [PC, S]
+    if bf16_dots:
+        bx = jnp.dot(gx.astype(jnp.bfloat16), wxt.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)       # [PR, S]
+        by = jnp.dot(gy.astype(jnp.bfloat16), wxt.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    else:
+        bx = jnp.dot(gx, wxt, precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
+        by = jnp.dot(gy, wxt, precision=jax.lax.Precision.HIGHEST,
+                     preferred_element_type=jnp.float32)
+    return jnp.sum(bx * wyt, axis=0), jnp.sum(by * wyt, axis=0)
+
+
+_PI = 3.14159265358979
+
+
+def _atan2(y, x):
+    """Elementwise atan2 from a 9th-order minimax atan polynomial.
+
+    Mosaic has no atan2 primitive; this builds it from supported ops
+    (~1e-6 rad on the octant, folded by the usual symmetries — bin
+    widths are 2*pi/36, so the error is 5 orders below a bin)."""
+    ax, ay = jnp.abs(x), jnp.abs(y)
+    swap = ay > ax
+    num = jnp.where(swap, ax, ay)
+    den = jnp.where(swap, ay, ax)
+    z = num / jnp.maximum(den, 1e-30)
+    z2 = z * z
+    a = z * (0.99997726 + z2 * (-0.33262347 + z2 * (0.19354346
+             + z2 * (-0.11643287 + z2 * (0.05265332
+             + z2 * -0.01172120)))))
+    a = jnp.where(swap, (_PI / 2) - a, a)
+    a = jnp.where(x < 0, _PI - a, a)
+    return jnp.where(y < 0, -a, a)
+
+
+def _fmod_pos(x, n: float):
+    """x mod n into [0, n) for bounded float x (floor-based, exact)."""
+    return x - n * jnp.floor(x / n)
+
+
+def _grad_patches_prologue(patches, pr, pc):
+    """DMA'd patches -> raw central differences for the whole group."""
+    pall = patches[:].reshape(_G * pr, pc)
+    gx_all = 0.5 * (pltpu.roll(pall, pc - 1, 1) - pltpu.roll(pall, 1, 1))
+    gy_all = 0.5 * (pltpu.roll(pall, _G * pr - 1, 0)
+                    - pltpu.roll(pall, 1, 0))
+    return gx_all, gy_all
+
+
+def _kernel_hist(lvl_ref, y0_ref, x0_ref,     # scalar prefetch [N]
+                 ry_ref, rx_ref, wv_ref,      # VMEM [G, S]
+                 g_ref,                       # HBM Gaussian stack
+                 hist_ref,                    # VMEM out [G, NB]
+                 patches, sem,
+                 *, pr: int, pc: int, h: int, w: int, nb: int):
+    """Fused orientation stage: sampling + gradient polar decomposition +
+    soft circular binning, all in-register.
+
+    The XLA path materialises dx/dy [K, S] in HBM plus a [K, S, NB]
+    one-hot tensor for the histogram contraction (~80 MB/frame at the
+    bench shape); here only the [G, NB] histograms ever leave the chip.
+    wv is the caller's per-sample weight (Gaussian radial x in-bounds x
+    keypoint validity)."""
+    i = pl.program_id(0)
+
+    def dma(j):
+        k = i * _G + j
+        y0 = pl.multiple_of(y0_ref[k], 8)
+        x0 = pl.multiple_of(x0_ref[k], 128)
+        return pltpu.make_async_copy(
+            g_ref.at[lvl_ref[k], pl.ds(y0, pr), pl.ds(x0, pc)],
+            patches.at[j], sem.at[j])
+
+    for j in range(_G):
+        dma(j).start()
+    for j in range(_G):
+        dma(j).wait()
+
+    s = ry_ref.shape[1]
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (pr, s), 0).astype(jnp.float32)
+    coli = jax.lax.broadcasted_iota(jnp.int32, (pc, s), 0).astype(jnp.float32)
+    bini = jax.lax.broadcasted_iota(jnp.int32, (nb, s), 0).astype(jnp.float32)
+    gx_all, gy_all = _grad_patches_prologue(patches, pr, pc)
+    prow1 = jax.lax.broadcasted_iota(jnp.int32, (pr, 1), 0)
+    pcol1 = jax.lax.broadcasted_iota(jnp.int32, (1, pc), 1)
+
+    for j in range(_G):
+        k = i * _G + j
+        arow = prow1 + y0_ref[k]
+        acol = pcol1 + x0_ref[k]
+        my = ((arow > 0) & (arow < h - 1)).astype(jnp.float32)
+        mx = ((acol > 0) & (acol < w - 1)).astype(jnp.float32)
+        gx = gx_all[j * pr:(j + 1) * pr] * mx
+        gy = gy_all[j * pr:(j + 1) * pr] * my
+        dx, dy = _sample_slot(gx, gy, ry_ref[j, :], rx_ref[j, :],
+                              rowi, coli, True)                # [S]
+        mag = jnp.sqrt(dx * dx + dy * dy)
+        ang = _atan2(dy, dx)
+        fbin = _fmod_pos(ang / (2.0 * _PI) * nb, float(nb))
+        wgt = mag * wv_ref[j, :]
+        dist = jnp.abs(fbin[None, :] - bini)                   # [NB, S]
+        dist = jnp.minimum(dist, nb - dist)
+        obin = jnp.maximum(0.0, 1.0 - dist)
+        hist_ref[j, :] = jnp.sum(obin * wgt[None, :], axis=1)
+
+
+def _kernel_desc(lvl_ref, y0_ref, x0_ref, th_ref,  # scalar prefetch [N]
+                 ry_ref, rx_ref, wv_ref,           # VMEM [G, S]
+                 wsp_ref,                          # VMEM [S, CELLS] static
+                 g_ref,                            # HBM Gaussian stack
+                 out_ref,                          # VMEM out [G, NB, CELLS]
+                 patches, sem,
+                 *, pr: int, pc: int, h: int, w: int, nb: int, cells: int):
+    """Fused descriptor stage: sampling + rotated-frame binning + the
+    spatial-cell contraction, in-register (see _kernel_hist).  Emits the
+    raw [NB, CELLS] histogram block per slot; normalisation stays
+    outside."""
+    i = pl.program_id(0)
+
+    def dma(j):
+        k = i * _G + j
+        y0 = pl.multiple_of(y0_ref[k], 8)
+        x0 = pl.multiple_of(x0_ref[k], 128)
+        return pltpu.make_async_copy(
+            g_ref.at[lvl_ref[k], pl.ds(y0, pr), pl.ds(x0, pc)],
+            patches.at[j], sem.at[j])
+
+    for j in range(_G):
+        dma(j).start()
+    for j in range(_G):
+        dma(j).wait()
+
+    s = ry_ref.shape[1]
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (pr, s), 0).astype(jnp.float32)
+    coli = jax.lax.broadcasted_iota(jnp.int32, (pc, s), 0).astype(jnp.float32)
+    bini = jax.lax.broadcasted_iota(jnp.int32, (nb, s), 0).astype(jnp.float32)
+    gx_all, gy_all = _grad_patches_prologue(patches, pr, pc)
+    prow1 = jax.lax.broadcasted_iota(jnp.int32, (pr, 1), 0)
+    pcol1 = jax.lax.broadcasted_iota(jnp.int32, (1, pc), 1)
+
+    for j in range(_G):
+        k = i * _G + j
+        arow = prow1 + y0_ref[k]
+        acol = pcol1 + x0_ref[k]
+        my = ((arow > 0) & (arow < h - 1)).astype(jnp.float32)
+        mx = ((acol > 0) & (acol < w - 1)).astype(jnp.float32)
+        gx = gx_all[j * pr:(j + 1) * pr] * mx
+        gy = gy_all[j * pr:(j + 1) * pr] * my
+        dx, dy = _sample_slot(gx, gy, ry_ref[j, :], rx_ref[j, :],
+                              rowi, coli, True)                # [S]
+        mag = jnp.sqrt(dx * dx + dy * dy)
+        ang = th_ref[k] - _atan2(dy, dx)
+        fbin = _fmod_pos(ang / (2.0 * _PI) * nb, float(nb))
+        wgt = mag * wv_ref[j, :]
+        dist = jnp.abs(fbin[None, :] - bini)                   # [NB, S]
+        dist = jnp.minimum(dist, nb - dist)
+        contrib = jnp.maximum(0.0, 1.0 - dist) * wgt[None, :]
+        out_ref[j] = jnp.dot(contrib.astype(jnp.bfloat16),
+                             wsp_ref[:].astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
+
+
+def _patch_geometry(gauss, ys, xs, pr, pc):
+    """Shared wrapper math: pad the stack, choose aligned patch corners.
+
+    Returns the padded stack; border masks must use the ORIGINAL h, w
+    (the zero-pad apron is not image content) — callers capture them
+    before invoking this.
+    """
+    l, h, w = gauss.shape
+    inb = (ys >= 0) & (ys <= h - 1) & (xs >= 0) & (xs <= w - 1)
+    ys = jnp.clip(ys, 0.0, h - 1.000001)
+    xs = jnp.clip(xs, 0.0, w - 1.000001)
+    hp = max((h + 7) // 8 * 8, pr)
+    wp = max((w + 127) // 128 * 128, pc)
+    if (hp, wp) != (h, w):
+        gauss = jnp.pad(gauss, ((0, 0), (0, hp - h), (0, wp - w)))
+    yc = 0.5 * (jnp.min(ys, axis=1) + jnp.max(ys, axis=1))
+    xc = 0.5 * (jnp.min(xs, axis=1) + jnp.max(xs, axis=1))
+    y0 = jnp.clip((yc.astype(jnp.int32) - pr // 2 + 4) & ~7, 0, hp - pr)
+    x0 = jnp.clip((xc.astype(jnp.int32) - pc // 2 + 64) & ~127, 0, wp - pc)
+    ry = ys - y0[:, None].astype(jnp.float32)
+    rx = xs - x0[:, None].astype(jnp.float32)
+    return gauss, inb, y0, x0, ry, rx
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "pr", "pc", "interpret"))
+def sample_ori_hist(gauss: jnp.ndarray, lvl: jnp.ndarray,
+                    ys: jnp.ndarray, xs: jnp.ndarray, wv: jnp.ndarray,
+                    nb: int, pr: int, pc: int = 256,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Fused orientation histograms: [N, nb] from per-slot sample grids.
+
+    wv [N, S]: per-sample weight (radial Gaussian x keypoint validity);
+    out-of-image samples are zeroed in-wrapper via the inb mask.
+    """
+    l, h, w = gauss.shape
+    n, s = ys.shape
+    assert n % _G == 0, (n, _G)
+    gauss, inb, y0, x0, ry, rx = _patch_geometry(gauss, ys, xs, pr, pc)
+    wv = wv * inb
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n // _G,),
+        in_specs=[
+            pl.BlockSpec((_G, s), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_G, s), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_G, s), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_G, nb), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_G, pr, pc), jnp.float32),
+            pltpu.SemaphoreType.DMA((_G,)),
+        ],
+    )
+    (hist,) = pl.pallas_call(
+        functools.partial(_kernel_hist, pr=pr, pc=pc, h=h, w=w, nb=nb),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n, nb), jnp.float32)],
+        interpret=interpret,
+    )(jnp.clip(lvl, 0, l - 1), y0, x0, ry, rx, wv, gauss)
+    return hist
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("nb", "cells", "pr", "pc", "interpret"))
+def sample_desc_raw(gauss: jnp.ndarray, lvl: jnp.ndarray,
+                    ys: jnp.ndarray, xs: jnp.ndarray,
+                    theta: jnp.ndarray, wv: jnp.ndarray,
+                    w_spatial: jnp.ndarray, nb: int, cells: int,
+                    pr: int, pc: int = 256,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Fused raw descriptors: [N, nb, cells] (normalise outside).
+
+    theta [N] slot orientations; wv [N, S] Gaussian spatial weights;
+    w_spatial [S, cells] static bilinear cell weights.
+    """
+    l, h, w = gauss.shape
+    n, s = ys.shape
+    assert n % _G == 0, (n, _G)
+    gauss, inb, y0, x0, ry, rx = _patch_geometry(gauss, ys, xs, pr, pc)
+    wv = wv * inb
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n // _G,),
+        in_specs=[
+            pl.BlockSpec((_G, s), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_G, s), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_G, s), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, cells), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_G, nb, cells), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_G, pr, pc), jnp.float32),
+            pltpu.SemaphoreType.DMA((_G,)),
+        ],
+    )
+    (raw,) = pl.pallas_call(
+        functools.partial(_kernel_desc, pr=pr, pc=pc, h=h, w=w,
+                          nb=nb, cells=cells),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n, nb, cells), jnp.float32)],
+        interpret=interpret,
+    )(jnp.clip(lvl, 0, l - 1), y0, x0, theta, ry, rx, wv, w_spatial, gauss)
+    return raw
+
+
 @functools.partial(jax.jit,
                    static_argnames=("pr", "pc", "interpret"))
 def sample_grad_patches_sep(gauss: jnp.ndarray, lvl: jnp.ndarray,

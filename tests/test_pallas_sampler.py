@@ -173,6 +173,72 @@ def test_separable_grid_matches_general():
         assert np.median(np.abs(a - b) / scale) < 8e-3
 
 
+def _hist_desc_setup(seed=11, L=3, H=96, W=160, N=16, S=64):
+    rng2 = np.random.default_rng(seed)
+    gauss = jnp.asarray(rng2.normal(size=(L, H, W)).astype(np.float32))
+    lvl = jnp.asarray(rng2.integers(0, L, N).astype(np.int32))
+    cy = rng2.uniform(8, H - 8, N).astype(np.float32)
+    cx = rng2.uniform(8, W - 8, N).astype(np.float32)
+    off = rng2.uniform(-10, 10, (N, S)).astype(np.float32)
+    ys = jnp.asarray(cy[:, None] + off)
+    xs = jnp.asarray(cx[:, None] + off[:, ::-1])
+    wv = jnp.asarray(rng2.uniform(0.2, 1.0, (N, S)).astype(np.float32))
+    return gauss, lvl, ys, xs, wv
+
+
+def test_fused_hist_matches_xla():
+    """_kernel_hist (fused sample+bin) == the XLA formula, within
+    bf16-dot tolerance (histograms average many samples)."""
+    from cusift_tpu.ops.pallas.sampler import sample_ori_hist
+
+    gauss, lvl, ys, xs, wv = _hist_desc_setup()
+    nb = 36
+    hist = sample_ori_hist(gauss, lvl, ys, xs, wv, nb, pr=48,
+                           interpret=True)
+    dx, dy, inb = _xla_reference(gauss, lvl, ys, xs)
+    mag = np.sqrt(np.asarray(dx) ** 2 + np.asarray(dy) ** 2)
+    ang = np.arctan2(np.asarray(dy), np.asarray(dx))
+    w = mag * np.asarray(wv) * np.asarray(inb)
+    fbin = (ang / (2 * np.pi) * nb) % nb
+    dist = np.abs(fbin[..., None] - np.arange(nb))
+    dist = np.minimum(dist, nb - dist)
+    ref = ((np.maximum(0.0, 1.0 - dist)) * w[..., None]).sum(1)
+    scale = max(np.abs(ref).max(), 1e-6)
+    np.testing.assert_allclose(np.asarray(hist) / scale, ref / scale,
+                               atol=2e-2)
+
+
+def test_fused_desc_matches_xla():
+    """_kernel_desc (fused sample+rotate+bin+cell-contract) == the XLA
+    descriptor math; compared after normalisation via cosine."""
+    from cusift_tpu.ops.pallas.sampler import sample_desc_raw
+
+    gauss, lvl, ys, xs, wv = _hist_desc_setup(seed=13)
+    nb, cells = 8, 16
+    rng2 = np.random.default_rng(5)
+    theta = jnp.asarray(rng2.uniform(0, 2 * np.pi, 16).astype(np.float32))
+    wsp = jnp.asarray(rng2.uniform(0, 1, (64, cells)).astype(np.float32))
+    raw = sample_desc_raw(gauss, lvl, ys, xs, theta, wv, wsp,
+                          nb=nb, cells=cells, pr=48, interpret=True)
+    desc = np.swapaxes(np.asarray(raw), 1, 2).reshape(16, cells * nb)
+
+    dx, dy, inb = _xla_reference(gauss, lvl, ys, xs)
+    mag = np.sqrt(np.asarray(dx) ** 2 + np.asarray(dy) ** 2)
+    ang = np.asarray(theta)[:, None] - np.arctan2(np.asarray(dy),
+                                                  np.asarray(dx))
+    w = mag * np.asarray(wv) * np.asarray(inb)
+    fbin = (ang / (2 * np.pi) * nb) % nb
+    dist = np.abs(fbin[..., None] - np.arange(nb))
+    dist = np.minimum(dist, nb - dist)
+    contrib = np.maximum(0.0, 1.0 - dist) * w[..., None]       # [N, S, nb]
+    ref = np.einsum("sc,ksb->kcb", np.asarray(wsp), contrib).reshape(16, -1)
+
+    for a, b in zip(desc, ref):
+        na, nr = np.linalg.norm(a), np.linalg.norm(b)
+        assert na > 0 and nr > 0
+        assert np.dot(a / na, b / nr) > 0.9995
+
+
 def test_checkify_matcher_idx_bounds(rng):
     from jax.experimental import checkify
     from cusift_tpu.config import MatchConfig

@@ -216,9 +216,18 @@ def cmd_odo(args):
           f"({n_frames / dt:.2f} frames/s incl. compile); "
           f"{ok}/{len(vo.stats)} pairs tracked")
     if gt is not None:
+        from .data.evaluation import trajectory_path_length
         gt_r, gt_t = gt[0][:n_frames], gt[1][:n_frames]
         ate = ate_rmse(est_r, est_t, gt_r, gt_t, with_scale=True)
         t_pc, r_dpm = kitti_drift(est_r, est_t, gt_r, gt_t)
+        if np.isnan(t_pc):
+            # sequence shorter than the standard 100..800 m evaluation
+            # lengths: fall back to fractions of the actual path
+            total = trajectory_path_length(gt_r, gt_t)[-1]
+            if total > 0:
+                t_pc, r_dpm = kitti_drift(
+                    est_r, est_t, gt_r, gt_t,
+                    lengths=(0.25 * total, 0.5 * total), step=1)
         print(f"ATE RMSE (Sim3-aligned) {ate:.4f} m")
         print(f"KITTI drift: {t_pc:.2f} % translation, "
               f"{r_dpm:.4f} deg/m rotation")

@@ -216,9 +216,17 @@ def cmd_odo(args):
           f"({n_frames / dt:.2f} frames/s incl. compile); "
           f"{ok}/{len(vo.stats)} pairs tracked")
     if gt is not None:
-        from .data.evaluation import trajectory_path_length
+        from .data.evaluation import camera_centers, horn_align, \
+            trajectory_path_length
         gt_r, gt_t = gt[0][:n_frames], gt[1][:n_frames]
         ate = ate_rmse(est_r, est_t, gt_r, gt_t, with_scale=True)
+        # the monocular trajectory's global scale is arbitrary (anchored at
+        # |t|=1 on the first pair): apply the Umeyama scale to the estimate
+        # before the drift metric so the printed translation-% measures
+        # drift, not the unobservable global scale offset
+        s, _, _ = horn_align(camera_centers(est_r, est_t),
+                             camera_centers(gt_r, gt_t), with_scale=True)
+        est_t = (est_t * s).astype(np.float32)
         t_pc, r_dpm = kitti_drift(est_r, est_t, gt_r, gt_t)
         if np.isnan(t_pc):
             # sequence shorter than the standard 100..800 m evaluation

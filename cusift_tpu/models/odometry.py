@@ -203,9 +203,15 @@ class MonoVO:
         self.poses_r.append((r_rel @ r_prev).astype(np.float32))
         self.poses_t.append((r_rel @ t_prev + t_rel).astype(np.float32))
         self._feats = out.feats
-        self._depth = out.depth
+        # depths triangulated from a REJECTED essential model are garbage:
+        # zero the carried chain so the scale re-anchors from the next
+        # successful pair instead of chaining through the bad model, and
+        # keep the frame's BA observations masked out for the same reason
+        self._depth = (out.depth if ok > 0.5
+                       else jnp.zeros_like(out.depth))
         if self.ba_window:
-            valid_pts = out.feats.valid & (out.depth > 1e-6)
+            valid_pts = (out.feats.valid & (out.depth > 1e-6)
+                         & jnp.bool_(ok > 0.5))
             self._ring.append((out.feats.desc, valid_pts, out.pts))
             self._ring = self._ring[-self.ba_window:]
             if (len(self._ring) == self.ba_window

@@ -158,7 +158,11 @@ bool decode_npy(const std::vector<uint8_t>& b, float scale, Frame& f) {
 
 // ---------- PNG (zlib inflate + per-row unfilter) ----------
 
-bool inflate_all(const uint8_t* src, size_t n, std::vector<uint8_t>& out) {
+// `expected` bounds the output (known from IHDR before inflating) so a
+// corrupt/crafted IDAT whose stream inflates far past the declared image
+// size fails fast instead of exhausting memory.
+bool inflate_all(const uint8_t* src, size_t n, size_t expected,
+                 std::vector<uint8_t>& out) {
   z_stream zs;
   std::memset(&zs, 0, sizeof(zs));
   if (inflateInit(&zs) != Z_OK) return false;
@@ -174,6 +178,7 @@ bool inflate_all(const uint8_t* src, size_t n, std::vector<uint8_t>& out) {
     if (rc != Z_OK && rc != Z_STREAM_END) { inflateEnd(&zs); return false; }
     out.insert(out.end(), buf.data(),
                buf.data() + (buf.size() - zs.avail_out));
+    if (out.size() > expected) { inflateEnd(&zs); return false; }
     if (rc != Z_STREAM_END && zs.avail_in == 0 && zs.avail_out != 0) break;
   }
   inflateEnd(&zs);
@@ -221,11 +226,12 @@ bool decode_png(const std::vector<uint8_t>& b, float scale, Frame& f) {
     case 6: ch = 4; break;   // RGBA
     default: return false;
   }
-  std::vector<uint8_t> raw;
-  if (!inflate_all(idat.data(), idat.size(), raw)) return false;
   const size_t bpp = static_cast<size_t>(ch) * depth / 8;
   const size_t stride = static_cast<size_t>(w) * bpp;
-  if (raw.size() < (stride + 1) * static_cast<size_t>(h)) return false;
+  const size_t expected = (stride + 1) * static_cast<size_t>(h);
+  std::vector<uint8_t> raw;
+  if (!inflate_all(idat.data(), idat.size(), expected, raw)) return false;
+  if (raw.size() < expected) return false;
 
   std::vector<uint8_t> img(stride * h);
   for (int64_t y = 0; y < h; y++) {

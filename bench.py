@@ -29,7 +29,7 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--size", type=int, nargs=2, default=(480, 640))
     ap.add_argument("--max-kpts", type=int, default=4096)
-    ap.add_argument("--batch", type=int, default=8,
+    ap.add_argument("--batch", type=int, default=16,
                     help="frames per dispatch for the headline batched "
                          "pipeline (0 = use the two-frame pair step; "
                          "must be 0 or >= 2 — consecutive-pair matching "
@@ -54,10 +54,27 @@ def main():
     from cusift_tpu.data.synthetic import warped_pair
 
     h, w = args.size
-    img_a, img_b, _ = warped_pair(h, w, seed=1, blobs=800, detail=0.25)
+    # detail_octaves=4: octave-spaced texture bands (1/f-like spectrum, as
+    # in real photographs) so SIFT octaves above the first see extrema too.
+    # The single-band round-1/2 scene starved octaves 1-4 (~230 valid kpts
+    # across 1920 budget slots paid — scripts/yield_probe.py), under-
+    # crediting kpts/s by ~30% vs the ~4k-kpts/frame calibration workload.
+    img_a, img_b, _ = warped_pair(h, w, seed=1, blobs=800, detail=0.25,
+                                  detail_octaves=4)
+    # per-octave candidate budgets matched to the scene's measured extrema
+    # density (octave 0 saturated, upper octaves trimmed — every budget
+    # slot costs refine+orientation+descriptor work whether or not a real
+    # extremum fills it); desc_slot_factor trimmed to the measured
+    # secondary-orientation rate
     sift_cfg = SiftConfig(max_kpts=args.max_kpts,
                           max_kpts_per_octave=args.max_kpts // 2,
+                          octave_budgets=(2048, 1024, 256, 96, 32),
+                          desc_slot_factor=1.10,
                           upscale=not args.no_upscale)
+    if args.max_kpts != 4096:
+        sift_cfg = SiftConfig(max_kpts=args.max_kpts,
+                              max_kpts_per_octave=args.max_kpts // 2,
+                              upscale=not args.no_upscale)
     match_cfg = MatchConfig()
 
     @jax.jit
@@ -105,7 +122,8 @@ def main():
     # queue drain).  `--batch 0` falls back to the pair-step number.
     bsz = args.batch
     if bsz:
-        frames = [warped_pair(h, w, seed=s, blobs=800, detail=0.25)
+        frames = [warped_pair(h, w, seed=s, blobs=800, detail=0.25,
+                              detail_octaves=4)
                   for s in range((bsz + 1) // 2)]
         stack = []
         for a, b, _ in frames:

@@ -103,7 +103,8 @@ def cmd_slam(args):
                 sift_cfg=SiftConfig(max_kpts=args.max_kpts,
                                     max_kpts_per_octave=args.max_kpts // 2),
                 ransac_cfg=RansacConfig(inlier_thresh_3d=0.03),
-                slam_cfg=SlamConfig(checkpoint_every=args.checkpoint_every))
+                slam_cfg=SlamConfig(checkpoint_every=args.checkpoint_every),
+                dist_ba=getattr(args, "dist", False))
     t0 = time.time()
 
     def as_pairs(items):
@@ -201,20 +202,30 @@ def cmd_odo(args):
         frames = iter(seq.images)
         gt = (seq.poses_r, seq.poses_t)
 
+    from .config import VOConfig
+    vo_cfg = VOConfig() if args.loop else None
+    if args.dist:
+        from .parallel.mesh import init_distributed
+        init_distributed()
     vo = MonoVO(intr,
                 sift_cfg=SiftConfig(max_kpts=args.max_kpts,
                                     max_kpts_per_octave=args.max_kpts // 2),
                 ransac_cfg=RansacConfig(),
                 ba_window=args.ba_window,
-                pad_to_tier=args.tier_pad)
+                pad_to_tier=args.tier_pad,
+                vo_cfg=vo_cfg, dist_ba=args.dist)
     t0 = time.time()
     est_r, est_t = vo.run(frames, max_frames=args.frames or None)
     dt = time.time() - t0
     n_frames = len(est_r)
     ok = sum(1 for s in vo.stats if s["ok"])
+    extra = (f"; {vo.n_kf} keyframes, {vo.n_closures} loop closures"
+             if args.loop else "")
+    if args.dist and vo._ba_mesh is not None:
+        extra += f"; BA sharded over {vo._ba_mesh.devices.size} devices"
     print(f"processed {n_frames} frames in {dt:.1f}s "
           f"({n_frames / dt:.2f} frames/s incl. compile); "
-          f"{ok}/{len(vo.stats)} pairs tracked")
+          f"{ok}/{len(vo.stats)} pairs tracked{extra}")
     if gt is not None:
         from .data.evaluation import camera_centers, horn_align, \
             trajectory_path_length
@@ -316,6 +327,9 @@ def main(argv=None):
     s.add_argument("--metrics", help="JSONL metrics output path")
     s.add_argument("--save", help="checkpoint output path")
     s.add_argument("--checkpoint-every", type=int, default=0)
+    s.add_argument("--dist", action="store_true",
+                   help="shard the local-BA Schur solve over every "
+                        "device's map axis (needs >1 devices)")
     s.add_argument("--save-trajectory",
                    help="write the per-frame trajectory in TUM format")
     s.set_defaults(fn=cmd_slam)
@@ -332,6 +346,14 @@ def main(argv=None):
     o.add_argument("--ba-window", type=int, default=0,
                    help="bundle-adjust the last N frames as they stream "
                         "(0 = off)")
+    o.add_argument("--loop", action="store_true",
+                   help="sequence-scale frontend: keyframe ring + loop "
+                        "closure + Sim(3) pose graph (bounds long-run "
+                        "drift)")
+    o.add_argument("--dist", action="store_true",
+                   help="shard the windowed-BA Schur solve over every "
+                        "device's map axis (needs --ba-window and >1 "
+                        "devices)")
     o.add_argument("--tier-pad", action="store_true",
                    help="pad frames to canonical shape tiers so mixed "
                         "resolutions share compiled programs")

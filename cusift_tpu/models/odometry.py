@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import MatchConfig, RansacConfig, SiftConfig
+from ..config import (MatchConfig, PoseGraphConfig, RansacConfig, SiftConfig,
+                      VOConfig)
 from ..ops.essential import find_essential, triangulate_midpoint
 from ..ops.match import match
 from .sift import SiftFeatures, extract
@@ -91,12 +92,22 @@ def pair_step(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
 
     # scale chaining: features seen in the previous pair carry a global
     # depth in frame A; the fresh triangulation measures the same depth in
-    # |t|=1 units, so the ratio's robust median is this pair's scale
-    have_prev = good & (depth_a > 1e-6)
+    # |t|=1 units, so the ratio's robust median is this pair's scale.
+    # za in unit-baseline units IS depth/baseline = inverse parallax: points
+    # beyond ~500 carry < ~0.1 deg of parallax and their triangulated depth
+    # is noise-dominated with a heavy HIGH tail, which biases the ratio
+    # median LOW and decays the chained scale multiplicatively — gate them.
+    low_parallax = (za > 500.0) | (zb > 500.0)
+    have_prev = good & (depth_a > 1e-6) & ~low_parallax
     ratio = depth_a / jnp.maximum(za, 1e-6)
     n_common = jnp.sum(have_prev.astype(jnp.int32))
     med = _masked_median(ratio, have_prev)
     scale_ok = (n_common >= 8) & jnp.isfinite(med) & (med > 1e-6)
+    # smooth-motion clamp: consecutive pairs' physical |t| cannot jump an
+    # order of magnitude, so a ratio-median far from the previous scale is
+    # an estimation failure, not a measurement — bound the per-pair scale
+    # step (re-convergence after a real change still proceeds at 3x/pair)
+    med = jnp.clip(med, prev_scale / 3.0, prev_scale * 3.0)
     scale = jnp.where(scale_ok, med, prev_scale)
 
     # per-slot depth of frame B (global units) for the NEXT pair's chain;
@@ -117,12 +128,70 @@ def pair_step(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
                         scale_common=n_common, ok=res.ok)
 
 
+@partial(jax.jit, static_argnames=("match_cfg", "ransac_cfg"))
+def _loop_verify_step(desc, valid, xyn, depth,
+                      kf_desc, kf_valid, kf_xyn, kf_depth,
+                      limit, exclude_lo,
+                      match_cfg: MatchConfig, ransac_cfg: RansacConfig, key):
+    """Monocular loop-closure retrieval + essential verification + scales.
+
+    One XLA program, one packed [20] fetch (the host-interface discipline
+    of models/slam.py): retrieval scores over the whole keyframe ring, the
+    best candidate's ratio-test match, essential RANSAC in normalised
+    coordinates, and the TWO depth-ratio scales a Sim(3) loop edge needs:
+
+    * med_b — the candidate keyframe's stored chained depths against the
+      fresh |t|=1 triangulation in the candidate frame: the edge
+      translation's scale in the CANDIDATE's epoch units;
+    * med_a — the current frame's chained depths against the triangulation
+      in the current frame: the same physical |t| in the CURRENT epoch.
+
+    Their ratio med_b / med_a is the measured relative scale s_m = k_cand /
+    k_cur between the two chain epochs — exactly the scale-drift
+    observable the Sim(3) pose graph (optim/sim3graph.py) consumes.
+
+    Keyframes with index in [exclude_lo, limit) are the recent temporal
+    neighbours and are excluded from retrieval.
+    """
+    from .slam import _kf_scores
+
+    idx = jnp.arange(kf_desc.shape[0])
+    active = (idx < limit) & (idx < exclude_lo)
+    scores = _kf_scores(desc, valid, kf_desc, kf_valid, active)
+    cand = jnp.argmax(scores)
+    m = match(desc, valid, kf_desc[cand], kf_valid[cand], match_cfg)
+    xb = kf_xyn[cand][m.idx]
+    res = find_essential(xyn, xb, m.ok & valid, ransac_cfg, key)
+    _, za, zb = triangulate_midpoint(res.r, res.t, xyn, xb)
+    good = res.inliers & (za > 1e-6) & (zb > 1e-6)
+    dcand = kf_depth[cand][m.idx]
+    have_b = good & (dcand > 1e-6)
+    med_b = _masked_median(dcand / jnp.maximum(zb, 1e-6), have_b)
+    n_b = jnp.sum(have_b.astype(jnp.int32))
+    have_a = good & (depth > 1e-6)
+    med_a = _masked_median(depth / jnp.maximum(za, 1e-6), have_a)
+    n_a = jnp.sum(have_a.astype(jnp.int32))
+    return jnp.concatenate([
+        jnp.array([cand, scores[cand], res.ok, res.num_inliers,
+                   n_b, med_b, n_a, med_a], jnp.float32),
+        res.r.reshape(-1), res.t])
+
+
 class MonoVO:
     """Host-side monocular odometry loop over an image iterable.
 
     Composes world-to-camera poses T_k = T_rel,k ∘ T_{k-1}; on RANSAC
     failure the previous relative motion is repeated (constant-velocity
     fallback) so one bad pair cannot break the chain.
+
+    With a `vo_cfg` (VOConfig), the frontend becomes sequence-scale: frames
+    are promoted into a fixed-capacity keyframe ring (descriptors,
+    normalised coordinates, chained depths), each new keyframe is checked
+    against the map for loop closures (retrieval + essential RANSAC +
+    depth-ratio scale, `_loop_verify_step`), and accepted closures trigger
+    an SE3 pose-graph optimisation over the keyframes with every frame
+    pose rebased through its reference keyframe — the machinery that
+    bounds drift on KITTI-length sequences (BASELINE configs[4]).
     """
 
     def __init__(self, intr: np.ndarray,
@@ -130,7 +199,10 @@ class MonoVO:
                  match_cfg: MatchConfig = MatchConfig(),
                  ransac_cfg: RansacConfig = RansacConfig(),
                  ba_window: int = 0, ba_every: int = 2,
-                 pad_to_tier: bool = False):
+                 pad_to_tier: bool = False,
+                 vo_cfg: VOConfig | None = None,
+                 pg_cfg: PoseGraphConfig = PoseGraphConfig(),
+                 dist_ba: bool = False):
         self.intr = jnp.asarray(np.asarray(intr, np.float32))
         # canonical shape tiers: arbitrary camera resolutions share one
         # compiled program per tier (utils/image.py); features landing in
@@ -142,6 +214,13 @@ class MonoVO:
         self.ransac_cfg = ransac_cfg
         self.ba_window = ba_window       # frames; 0 disables windowed BA
         self.ba_every = max(1, ba_every)
+        # distributed windowed BA (BASELINE configs[4]): shard the Schur
+        # solve over every available device's "map" axis when asked; the
+        # single-device path is the fallback on one chip
+        self._ba_mesh = None
+        if dist_ba and len(jax.devices()) > 1:
+            from ..parallel.mesh import map_mesh
+            self._ba_mesh = map_mesh()
         self.poses_r = [np.eye(3, dtype=np.float32)]
         self.poses_t = [np.zeros(3, np.float32)]
         self.stats = []
@@ -153,6 +232,22 @@ class MonoVO:
         self._key = jax.random.PRNGKey(ransac_cfg.seed)
         # device-side ring of (desc, valid, pts) for windowed BA
         self._ring: list[tuple] = []
+        # sequence-scale frontend (keyframes + loop closure + pose graph)
+        self.vo_cfg = vo_cfg
+        self.pg_cfg = pg_cfg
+        self.n_kf = 0
+        self.n_closures = 0
+        self._kf_frame: list[int] = []   # frame index of each keyframe
+        self._frame_ref: list[int] = []  # keyframe index each frame rides on
+        self._ema_step = 0.0             # smoothed per-pair |t| (global units)
+        if vo_cfg is not None:
+            kf, n = vo_cfg.max_keyframes, sift_cfg.total_kpts
+            self._kf_desc = jnp.zeros((kf, n, 128), jnp.float32)
+            self._kf_valid = jnp.zeros((kf, n), bool)
+            self._kf_xyn = jnp.zeros((kf, n, 2), jnp.float32)
+            self._kf_depth = jnp.zeros((kf, n), jnp.float32)
+            # pose-graph edges (host lists, bounded by keyframe count)
+            self._edges: list[tuple] = []   # (i, j, meas_r, meas_t, weight)
 
     def _extract(self, dimg):
         f = extract(dimg, self.sift_cfg)
@@ -176,6 +271,9 @@ class MonoVO:
             if self.ba_window:
                 self._ring.append((self._feats.desc, self._feats.valid,
                                    jnp.zeros((n, 3), jnp.float32)))
+            if self.vo_cfg is not None:
+                self._insert_keyframe()     # frame 0 bootstraps the map
+                self._frame_ref.append(0)
             return None
         self._key, sub = jax.random.split(self._key)
         fa = self._feats
@@ -202,6 +300,9 @@ class MonoVO:
         r_prev, t_prev = self.poses_r[-1], self.poses_t[-1]
         self.poses_r.append((r_rel @ r_prev).astype(np.float32))
         self.poses_t.append((r_rel @ t_prev + t_rel).astype(np.float32))
+        step = float(np.linalg.norm(t_rel))
+        self._ema_step = (step if self._ema_step == 0.0
+                          else 0.8 * self._ema_step + 0.2 * step)
         self._feats = out.feats
         # depths triangulated from a REJECTED essential model are garbage:
         # zero the carried chain so the scale re-anchors from the next
@@ -217,10 +318,195 @@ class MonoVO:
             if (len(self._ring) == self.ba_window
                     and (len(self.poses_r) - 1) % self.ba_every == 0):
                 self._window_ba()
+        loop = False
+        if self.vo_cfg is not None:
+            self._frame_ref.append(max(self.n_kf - 1, 0))
+            loop = self._maybe_keyframe()
         stat = dict(inliers=int(n_inl), scale=float(scale),
-                    scale_common=int(n_common), ok=bool(ok > 0.5))
+                    scale_common=int(n_common), ok=bool(ok > 0.5),
+                    keyframe=bool(self.vo_cfg is not None and self._kf_frame
+                                  and self._kf_frame[-1]
+                                  == len(self.poses_r) - 1),
+                    loop=loop)
         self.stats.append(stat)
         return stat
+
+    # ---------- sequence-scale frontend (keyframes / loops / pose graph) ----
+
+    def _insert_keyframe(self) -> bool:
+        """Promote the current frame into the keyframe ring.
+
+        Stores descriptors, normalised image coordinates, and the chained
+        global-scale depths; adds the odometry pose-graph edge to the
+        previous keyframe.  Graceful at capacity: odometry continues
+        without map growth (tested at ring overflow).
+        """
+        i = self.n_kf
+        if i >= self.vo_cfg.max_keyframes:
+            return False
+        f = self._feats
+        fx, fy, cx, cy = (float(v) for v in np.asarray(self.intr))
+        xyn = jnp.stack([(f.x - cx) / fx, (f.y - cy) / fy], -1)
+        # dynamic index (device scalar): a Python int would be baked into
+        # the compiled update as a constant, recompiling once per ring row
+        # — ~max_keyframes compiles over a long run
+        di = jnp.int32(i)
+        self._kf_desc = self._kf_desc.at[di].set(f.desc)
+        self._kf_valid = self._kf_valid.at[di].set(f.valid)
+        self._kf_xyn = self._kf_xyn.at[di].set(xyn)
+        self._kf_depth = self._kf_depth.at[di].set(self._depth)
+        if i == 0:
+            self._kf_pose_r = np.broadcast_to(
+                np.eye(3, dtype=np.float32),
+                (self.vo_cfg.max_keyframes, 3, 3)).copy()
+            self._kf_pose_t = np.zeros((self.vo_cfg.max_keyframes, 3),
+                                       np.float32)
+        r_new, t_new = self.poses_r[-1], self.poses_t[-1]
+        self._kf_pose_r[i] = r_new
+        self._kf_pose_t[i] = t_new
+        if i > 0:
+            # odometry edge prev -> i measured T_prev * T_i^-1 (relative
+            # scale 1: consecutive keyframes share the chain epoch)
+            r_prev, t_prev = self._kf_pose_r[i - 1], self._kf_pose_t[i - 1]
+            m_r = r_prev @ r_new.T
+            m_t = t_prev - m_r @ t_new
+            self._edges.append((i - 1, i, m_r, m_t, 1.0, 1.0))
+        self._kf_frame.append(len(self.poses_r) - 1)
+        self.n_kf = i + 1
+        return True
+
+    def _maybe_keyframe(self) -> bool:
+        """Keyframe promotion + loop closure; returns True on a closure."""
+        cfg = self.vo_cfg
+        if self.n_kf == 0:
+            self._insert_keyframe()
+            return False
+        last = self._kf_frame[-1]
+        cur = len(self.poses_r) - 1
+        r_kf, t_kf = self._kf_pose_r[self.n_kf - 1], \
+            self._kf_pose_t[self.n_kf - 1]
+        r_cur, t_cur = self.poses_r[-1], self.poses_t[-1]
+        rel = r_cur @ r_kf.T
+        ang = float(np.arccos(np.clip((np.trace(rel) - 1) / 2, -1.0, 1.0)))
+        c_kf = -(r_kf.T @ t_kf)
+        c_cur = -(r_cur.T @ t_cur)
+        dist = float(np.linalg.norm(c_cur - c_kf))
+        # translation gate in multiples of the smoothed per-pair step: the
+        # monocular global scale is arbitrary, so absolute thresholds would
+        # promote every frame or no frame depending on the scale anchor
+        trans_gate = cfg.kf_min_translation * max(self._ema_step, 1e-12)
+        if (cur - last < cfg.kf_every and ang < cfg.kf_min_rotation
+                and dist < trans_gate):
+            return False
+        if not self._insert_keyframe():
+            return False
+        self._frame_ref[-1] = self.n_kf - 1
+        return self._try_loop_closure()
+
+    def _try_loop_closure(self) -> bool:
+        """Retrieve + verify + Sim(3)-optimise for the newest keyframe."""
+        cfg = self.vo_cfg
+        j = self.n_kf - 1
+        exclude_lo = j - cfg.loop_temporal_gap
+        if exclude_lo <= 0:
+            return False
+        self._key, sub = jax.random.split(self._key)
+        f = self._feats
+        fx, fy, cx, cy = (float(v) for v in np.asarray(self.intr))
+        xyn = jnp.stack([(f.x - cx) / fx, (f.y - cy) / fy], -1)
+        packed = np.asarray(_loop_verify_step(
+            f.desc, f.valid, xyn, self._depth,
+            self._kf_desc, self._kf_valid, self._kf_xyn, self._kf_depth,
+            j, exclude_lo, self.match_cfg, self.ransac_cfg, sub))
+        cand, score, ok, inl = (int(packed[0]), float(packed[1]),
+                                bool(packed[2] > 0.5), int(packed[3]))
+        n_b, med_b, n_a, med_a = (int(packed[4]), float(packed[5]),
+                                  int(packed[6]), float(packed[7]))
+        if (not ok or not np.isfinite(score) or score < cfg.loop_min_score
+                or inl < cfg.loop_min_inliers
+                or min(n_b, n_a) < cfg.loop_min_common
+                or not np.isfinite(med_b) or med_b <= 1e-6
+                or not np.isfinite(med_a) or med_a <= 1e-6):
+            return False
+        r = packed[8:17].reshape(3, 3)
+        # Sim(3) edge cand -> j: X_cand = s_m R X_j + t with the relative
+        # epoch scale s_m = k_cand / k_cur and t in the candidate's epoch
+        self._edges.append((cand, j, r.astype(np.float32),
+                            (packed[17:20] * med_b).astype(np.float32),
+                            med_b / med_a, 2.0))
+        self.n_closures += 1
+        self._optimize_graph()
+        return True
+
+    def _optimize_graph(self):
+        """Sim(3) pose graph over the raw keyframe chain.
+
+        The RAW odometry layer (self.poses_r/t, keyframe snapshots, edge
+        measurements) is never rewritten: every solve starts from the raw
+        chain with unit node scales, so repeated closures re-derive — not
+        re-apply — the correction.  The result is stored as a correction
+        (per-keyframe similarity) that `trajectory()` composes on output:
+        corrected keyframe pose (R_i, t_i / s_i), frame poses rebased
+        through their reference keyframe with the local translation
+        converted out of its raw epoch (rel_t / s_ref).
+        """
+        from ..optim.sim3graph import Sim3Graph, optimize as sim3_optimize
+
+        # pad the edge arrays to a static bucket (multiple of 64, weight-0
+        # identity padding): without this every closure changes the edge
+        # COUNT and recompiles the whole LM/CG program — ~one multi-second
+        # CPU compile per closure, unbounded compile-cache growth on long
+        # runs (the 300-frame soak OOMed exactly this way)
+        e = len(self._edges)
+        cap = max(64, -(-e // 64) * 64)
+        pad = cap - e
+        eye = np.broadcast_to(np.eye(3, dtype=np.float32), (pad, 3, 3))
+        ei = np.concatenate([np.array([x[0] for x in self._edges], np.int32),
+                             np.zeros(pad, np.int32)])
+        ej = np.concatenate([np.array([x[1] for x in self._edges], np.int32),
+                             np.zeros(pad, np.int32)])
+        mr = np.concatenate([np.stack([x[2] for x in self._edges]), eye])
+        mt = np.concatenate([np.stack([x[3] for x in self._edges]),
+                             np.zeros((pad, 3), np.float32)])
+        ms = np.concatenate([np.array([x[4] for x in self._edges],
+                                      np.float32), np.ones(pad, np.float32)])
+        wt = np.concatenate([np.array([x[5] for x in self._edges],
+                                      np.float32), np.zeros(pad, np.float32)])
+        g = Sim3Graph(
+            poses_r=jnp.asarray(self._kf_pose_r),
+            poses_t=jnp.asarray(self._kf_pose_t),
+            poses_s=jnp.ones(self._kf_pose_r.shape[0], jnp.float32),
+            edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
+            meas_r=jnp.asarray(mr), meas_t=jnp.asarray(mt),
+            meas_s=jnp.asarray(ms), weight=jnp.asarray(wt))
+        res = sim3_optimize(g, self.pg_cfg)
+        packed = np.array(jnp.concatenate([
+            res.poses_r.reshape(-1), res.poses_t.reshape(-1), res.poses_s]))
+        kf = self._kf_pose_r.shape[0]
+        self._corr = (packed[:kf * 9].reshape(kf, 3, 3),
+                      packed[kf * 9:kf * 12].reshape(kf, 3),
+                      packed[kf * 12:])
+
+    def trajectory(self) -> tuple:
+        """Per-frame world-to-camera poses with the latest loop correction.
+
+        Without closures this is the raw odometry chain.  With a stored
+        Sim(3) correction, keyframe i maps to the SE(3) pose
+        (R_i, t_i / s_i) and every frame rides its reference keyframe with
+        its raw relative translation brought into the corrected epoch.
+        """
+        if getattr(self, "_corr", None) is None:
+            return np.stack(self.poses_r), np.stack(self.poses_t)
+        cr, ct, cs = self._corr
+        rs, ts = [], []
+        for k, ref in enumerate(self._frame_ref):
+            r_kf, t_kf = self._kf_pose_r[ref], self._kf_pose_t[ref]
+            rel_r = self.poses_r[k] @ r_kf.T
+            rel_t = (self.poses_t[k] - rel_r @ t_kf) / max(cs[ref], 1e-12)
+            r_c, t_c = cr[ref], ct[ref] / max(cs[ref], 1e-12)
+            rs.append((rel_r @ r_c).astype(np.float32))
+            ts.append((rel_r @ t_c + rel_t).astype(np.float32))
+        return np.stack(rs), np.stack(ts)
 
     def _window_ba(self):
         """Bundle-adjust the last W frames over triangulated landmarks.
@@ -241,11 +527,17 @@ class MonoVO:
         idxs = np.arange(len(self.poses_r) - w, len(self.poses_r))
         r0 = jnp.asarray(np.stack([self.poses_r[i] for i in idxs]))
         t0 = jnp.asarray(np.stack([self.poses_t[i] for i in idxs]))
-        r, t, c0, c1 = window_ba(
-            kd, kv, kp, r0, t0, self.intr, jnp.ones(w, jnp.float32),
-            self.match_cfg,
-            BAConfig(max_iters=4, cg_iters=12, num_fixed_poses=2,
-                     huber_delta=4.0))
+        ba_cfg = BAConfig(max_iters=4, cg_iters=12, num_fixed_poses=2,
+                          huber_delta=4.0)
+        if self._ba_mesh is not None:
+            from ..parallel.dist_ba import window_ba_dist
+            r, t, c0, c1 = window_ba_dist(
+                kd, kv, kp, r0, t0, self.intr, jnp.ones(w, jnp.float32),
+                self._ba_mesh, self.match_cfg, ba_cfg)
+        else:
+            r, t, c0, c1 = window_ba(
+                kd, kv, kp, r0, t0, self.intr, jnp.ones(w, jnp.float32),
+                self.match_cfg, ba_cfg)
         packed = np.array(jnp.concatenate([r.reshape(-1), t.reshape(-1)]))
         rs = packed[:w * 9].reshape(w, 3, 3)
         ts = packed[w * 9:].reshape(w, 3)
@@ -259,4 +551,4 @@ class MonoVO:
             if max_frames is not None and i >= max_frames:
                 break
             self.process(img)
-        return np.stack(self.poses_r), np.stack(self.poses_t)
+        return self.trajectory()

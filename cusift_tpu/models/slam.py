@@ -179,7 +179,8 @@ class Slam:
 
     def __init__(self, intr, sift_cfg=SiftConfig(), match_cfg=MatchConfig(),
                  ransac_cfg=RansacConfig(), slam_cfg=SlamConfig(),
-                 pg_cfg=PoseGraphConfig(), seed: int = 0):
+                 pg_cfg=PoseGraphConfig(), seed: int = 0,
+                 dist_ba: bool = False):
         self.intr = jnp.asarray(intr)
         self.sift_cfg = sift_cfg
         self.match_cfg = match_cfg
@@ -201,6 +202,12 @@ class Slam:
         # with each record as soon as it is committed, so long runs keep
         # their observability even if interrupted
         self.on_metric = None
+        # distributed local BA over all devices' "map" axis when requested
+        # (BASELINE configs[4]'s streaming form); single-device otherwise
+        self._ba_mesh = None
+        if dist_ba and len(jax.devices()) > 1:
+            from ..parallel.mesh import map_mesh
+            self._ba_mesh = map_mesh()
 
     # ---------- keyframe management ----------
 
@@ -208,9 +215,12 @@ class Slam:
         s = self.state
         i = s.n_kf
         assert i < self.cfg.max_keyframes, "keyframe capacity exceeded"
-        s.kf_desc = s.kf_desc.at[i].set(desc)
-        s.kf_valid = s.kf_valid.at[i].set(valid)
-        s.kf_pts = s.kf_pts.at[i].set(pts)
+        # dynamic index: a Python int bakes into the compiled update as a
+        # constant — one fresh XLA program per ring row over a long run
+        di = jnp.int32(i)
+        s.kf_desc = s.kf_desc.at[di].set(desc)
+        s.kf_valid = s.kf_valid.at[di].set(valid)
+        s.kf_pts = s.kf_pts.at[di].set(pts)
         s.kf_pose_r[i] = np.asarray(pose_r)
         s.kf_pose_t[i] = np.asarray(pose_t)
         s.n_kf = i + 1
@@ -512,11 +522,15 @@ class Slam:
                           cg_iters=self.cfg.local_ba_cg_iters,
                           num_fixed_poses=2,
                           huber_delta=4.0)  # px: blunts misassociations
-        r, t, c0, c1 = window_ba(
-            s.kf_desc[di], s.kf_valid[di], s.kf_pts[di],
-            jnp.asarray(s.kf_pose_r[idxs]), jnp.asarray(s.kf_pose_t[idxs]),
-            self.intr, jnp.ones(w, jnp.float32),
-            self.match_cfg, ba_cfg)
+        args = (s.kf_desc[di], s.kf_valid[di], s.kf_pts[di],
+                jnp.asarray(s.kf_pose_r[idxs]), jnp.asarray(s.kf_pose_t[idxs]),
+                self.intr, jnp.ones(w, jnp.float32))
+        if self._ba_mesh is not None:
+            from ..parallel.dist_ba import window_ba_dist
+            r, t, c0, c1 = window_ba_dist(*args, self._ba_mesh,
+                                          self.match_cfg, ba_cfg)
+        else:
+            r, t, c0, c1 = window_ba(*args, self.match_cfg, ba_cfg)
         packed = np.array(jnp.concatenate(
             [r.reshape(-1), t.reshape(-1),
              jnp.stack([c0, c1])]))                  # the one fetch
@@ -527,15 +541,25 @@ class Slam:
         s = self.state
         if not s.edge_i:
             return
-        kf = self.cfg.max_keyframes
+        # static edge buckets (multiple of 64, weight-0 identity padding):
+        # otherwise every closure changes the edge count and recompiles the
+        # whole pose-graph LM/CG program (models/odometry.py grew the same
+        # guard after the 300-frame soak OOMed on per-closure compiles)
         e = len(s.edge_i)
+        pad = max(64, -(-e // 64) * 64) - e
+        eye = np.broadcast_to(np.eye(3, dtype=np.float32), (pad, 3, 3))
         g = PoseGraph(
             poses_r=jnp.asarray(s.kf_pose_r), poses_t=jnp.asarray(s.kf_pose_t),
-            edge_i=jnp.asarray(np.array(s.edge_i, np.int32)),
-            edge_j=jnp.asarray(np.array(s.edge_j, np.int32)),
-            meas_r=jnp.asarray(np.stack(s.meas_r)),
-            meas_t=jnp.asarray(np.stack(s.meas_t)),
-            weight=jnp.asarray(np.array(s.weight, np.float32)),
+            edge_i=jnp.asarray(np.concatenate(
+                [np.array(s.edge_i, np.int32), np.zeros(pad, np.int32)])),
+            edge_j=jnp.asarray(np.concatenate(
+                [np.array(s.edge_j, np.int32), np.zeros(pad, np.int32)])),
+            meas_r=jnp.asarray(np.concatenate([np.stack(s.meas_r), eye])),
+            meas_t=jnp.asarray(np.concatenate(
+                [np.stack(s.meas_t), np.zeros((pad, 3), np.float32)])),
+            weight=jnp.asarray(np.concatenate(
+                [np.array(s.weight, np.float32),
+                 np.zeros(pad, np.float32)])),
         )
         res = pg_optimize(g, self.pg_cfg)
         # np.array, not np.asarray: the latter returns a READ-ONLY view of

@@ -104,6 +104,79 @@ def distributed_bundle_adjust(parts: dict, mesh: Mesh,
                jnp.asarray(parts["uv"]), jnp.asarray(parts["w"]))
 
 
+@f32_matmuls
+def window_ba_dist(kf_desc, kf_valid, kf_pts, poses_r, poses_t, intr,
+                   win_mask, mesh: Mesh,
+                   match_cfg=None, ba_cfg: BAConfig = None,
+                   gate_px: float = 25.0):
+    """Distributed sliding-window BA: the STREAMING production form of D4.
+
+    `models/local_ba.py:window_ba` with the Schur solve sharded over the
+    mesh's "map" axis.  Unlike `partition_by_landmark` (host-side, for
+    arbitrary problems), the window problem's observation grid is [W, N]
+    with landmark n owning column n — so landmark-colocated sharding is a
+    pure STATIC reshape: shard s owns the landmark block [s L, (s+1) L),
+    its observations are the matching [W, L] sub-grid, and no host
+    round-trip or dynamic partitioning exists anywhere.  Association runs
+    replicated (one [N, N] match matmul per window keyframe — cheap next
+    to the LM iterations); the per-landmark V-block reductions stay
+    shard-local; the reduced camera system rides one psum per CG step
+    (`optim/ba.py:lm_loop(axis_name)`).
+
+    Drop-in signature for `window_ba` plus `mesh`; returns the same
+    (poses_r, poses_t, initial_cost, final_cost).
+    """
+    from ..config import MatchConfig
+    from ..models.local_ba import build_window_problem
+
+    if match_cfg is None:
+        match_cfg = MatchConfig()
+    if ba_cfg is None:
+        ba_cfg = BAConfig(max_iters=5, cg_iters=15, num_fixed_poses=2,
+                          huber_delta=4.0)
+    n_shards = mesh.shape["map"]
+    w, n = kf_valid.shape
+    assert n % n_shards == 0, (n, n_shards)
+    l_shard = n // n_shards
+
+    @partial(jax.jit, static_argnames=())
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(), P("map"), P(), P("map"), P("map"),
+                       P("map"), P("map")),
+             out_specs=(P(), P(), P(), P()), check_vma=False)
+    def run(poses_r, poses_t, points, intr, cam_idx, pt_idx, wt, uv):
+        p = BAProblem(poses_r=poses_r, poses_t=poses_t, points=points[0],
+                      intr=intr, cam_idx=cam_idx[0], pt_idx=pt_idx[0],
+                      uv=uv[0], w=wt[0])
+        res = lm_loop(p, ba_cfg, axis_name="map")
+        return res.poses_r, res.poses_t, res.initial_cost, res.cost
+
+    prob = build_window_problem(kf_desc, kf_valid, kf_pts, poses_r,
+                                poses_t, intr, win_mask, match_cfg, gate_px)
+    # static landmark-block sharding: [W*N] obs grid -> [S, W*L]
+    def to_shards(a):
+        a = a.reshape((w, n_shards, l_shard) + a.shape[2:])
+        return jnp.moveaxis(a, 1, 0).reshape(
+            (n_shards, w * l_shard) + a.shape[3:])
+
+    uv = to_shards(prob.uv.reshape(w, n, 2))
+    wt = to_shards(prob.w.reshape(w, n))
+    points = prob.points.reshape(n_shards, l_shard, 3)
+    cam_idx = jnp.broadcast_to(
+        jnp.repeat(jnp.arange(w, dtype=jnp.int32), l_shard),
+        (n_shards, w * l_shard))
+    pt_idx = jnp.broadcast_to(
+        jnp.tile(jnp.arange(l_shard, dtype=jnp.int32), w),
+        (n_shards, w * l_shard))
+
+    r, t, c0, c1 = run(prob.poses_r, prob.poses_t, points, prob.intr,
+                       cam_idx, pt_idx, wt, uv)
+    keep = win_mask[:, None, None] > 0
+    r_out = jnp.where(keep, r, poses_r)
+    t_out = jnp.where(keep[..., 0], t, poses_t)
+    return r_out, t_out, c0, c1
+
+
 def gather_points(parts: dict, sharded_points) -> np.ndarray:
     """Reassemble [L, 3] global landmarks from sharded [S, L_s, 3] output."""
     gp = np.asarray(parts["global_pt"])

@@ -14,7 +14,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--size", type=int, nargs=2, default=(480, 640))
     ap.add_argument("--max-kpts", type=int, default=4096)
@@ -37,12 +37,17 @@ def main():
     from cusift_tpu.data.synthetic import warped_pair
 
     h, w = args.size
+    # mirror bench.py's headline config (scene-matched budgets, trimmed
+    # descriptor slots) so the stage table explains the headline number
     cfg = SiftConfig(max_kpts=args.max_kpts,
-                     max_kpts_per_octave=args.max_kpts // 2, upscale=True)
+                     max_kpts_per_octave=args.max_kpts // 2,
+                     octave_budgets=(2048, 1024, 256, 96, 32),
+                     desc_slot_factor=1.10, upscale=True)
     bsz = args.batch
     frames = []
     for s in range((bsz + 1) // 2):
-        a, b, _ = warped_pair(h, w, seed=s, blobs=800, detail=0.25)
+        a, b, _ = warped_pair(h, w, seed=s, blobs=800, detail=0.25,
+                              detail_octaves=4)
         frames.extend([a, b])
     imgs = jnp.asarray(np.stack(frames[:bsz]))
 

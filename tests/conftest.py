@@ -36,6 +36,12 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long soak tests (minutes on CPU); run by default, "
+        "deselect with -m 'not slow'")
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)

@@ -80,3 +80,20 @@ def test_batch_matches_single(test_image):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(batched.desc[1]),
                                np.asarray(single.desc), rtol=1e-4, atol=1e-5)
+
+
+def test_octave_budget_override():
+    """Explicit per-octave budgets override the decay scheme (bench knob)."""
+    from cusift_tpu.config import SiftConfig
+
+    cfg = SiftConfig(max_kpts_per_octave=2048,
+                     octave_budgets=(2048, 1024, 256, 96, 32))
+    assert [cfg.kpt_budget(o) for o in range(5)] == [2048, 1024, 256, 96, 32]
+    # beyond the tuple, the last entry repeats; all results stay 8-aligned
+    assert cfg.kpt_budget(7) == 32
+    assert cfg.kpt_budget(2) % 8 == 0
+    assert SiftConfig(max_kpts_per_octave=100).kpt_budget(0) == 104
+    default = SiftConfig(max_kpts_per_octave=2048)
+    assert [default.kpt_budget(o) for o in range(3)] == [2048, 1024, 512]
+    # desc slots follow the budgets through desc_slot_factor (1.25 default)
+    assert cfg.desc_slots(2) == 320

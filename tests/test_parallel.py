@@ -147,3 +147,54 @@ def test_retrieval_scores():
     scores = retrieval_scores(jnp.asarray(q), jnp.ones(32, bool),
                               jnp.asarray(db), jnp.ones((6, 32), bool), mesh)
     assert int(np.argmax(np.asarray(scores))) == 4
+
+
+def test_window_ba_dist_matches_single():
+    """Streaming D4: sharded window BA == single-device window_ba.
+
+    The static landmark-block sharding of `window_ba_dist` must reproduce
+    the single-device solve (same association, same LM trajectory) at
+    every shard count — the production path MonoVO/Slam take when a
+    multi-device mesh exists.
+    """
+    from cusift_tpu.config import MatchConfig
+    from cusift_tpu.data.synthetic import planar_rgbd_sequence
+    from cusift_tpu.models.local_ba import window_ba
+    from cusift_tpu.models.slam import _extract_with_points
+    from cusift_tpu.optim.lie import se3_exp
+    from cusift_tpu.parallel.dist_ba import window_ba_dist
+
+    seq = planar_rgbd_sequence(5, 240, 320, seed=5, motion_scale=0.8,
+                               detail=0.3)
+    descs, valids, ptss = [], [], []
+    for i in range(5):
+        f, pts, _ = _extract_with_points(
+            jnp.asarray(seq.images[i]), jnp.asarray(seq.depths[i]),
+            jnp.asarray(seq.intr), CFG)
+        descs.append(f.desc)
+        valids.append(f.valid)
+        ptss.append(pts)
+    kd, kv, kp = jnp.stack(descs), jnp.stack(valids), jnp.stack(ptss)
+
+    rs = np.random.default_rng(1)
+    pr, pt = seq.poses_r.copy(), seq.poses_t.copy()
+    for k in (2, 3, 4):
+        dr, dt = (np.asarray(a) for a in se3_exp(rs.normal(scale=0.02, size=6)))
+        pr[k] = dr @ seq.poses_r[k]
+        pt[k] = dr @ seq.poses_t[k] + dt
+
+    args = (kd, kv, kp, jnp.asarray(pr), jnp.asarray(pt),
+            jnp.asarray(seq.intr), jnp.ones(5, jnp.float32))
+    ba_cfg = BAConfig(max_iters=5, cg_iters=15, num_fixed_poses=2,
+                      huber_delta=4.0)
+    r0, t0, c00, c01 = window_ba(*args, MatchConfig(), ba_cfg)
+    assert float(c01) < float(c00)
+    for shards in (2, 4, 8):
+        mesh = map_mesh(shards)
+        r1, t1, c10, c11 = window_ba_dist(*args, mesh, MatchConfig(), ba_cfg)
+        np.testing.assert_allclose(np.asarray(c10), np.asarray(c00),
+                                   rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(t1), np.asarray(t0),
+                                   atol=5e-4)
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r0),
+                                   atol=5e-4)

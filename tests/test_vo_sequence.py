@@ -1,0 +1,104 @@
+"""Sequence-scale monocular VO: keyframes, loop closure, bounded drift.
+
+Round-3 soak scenario (VERDICT task 3 / BASELINE configs[4]): a long
+synthetic two-plane circuit with a deliberate loop and a low-texture
+blur burst, driven through the sequence-scale MonoVO frontend
+(keyframe ring + essential loop closure + Sim(3) pose graph,
+models/odometry.py).  Small renders keep CPU wall-time sane; the
+real-chip long-run numbers live in BASELINE.md.
+"""
+
+import numpy as np
+import pytest
+
+from cusift_tpu.config import (MatchConfig, PoseGraphConfig, RansacConfig,
+                               SiftConfig, VOConfig)
+from cusift_tpu.data.evaluation import ate_rmse, kitti_drift, \
+    trajectory_path_length
+from cusift_tpu.data.synthetic import two_plane_sequence
+from cusift_tpu.models.odometry import MonoVO
+
+# 240x320 renders: the scale chain's depth-ratio median needs real
+# triangulation parallax (per-frame baseline ~0.09 m against 3-6 m planes
+# and ~2.5 px of image motion); 160x224 puts the estimator below its SNR
+# floor and the chain random-walks (see round-3 build notes)
+SIFT = SiftConfig(max_kpts=384, max_kpts_per_octave=256, num_octaves=3)
+
+
+def _drift_pct(est_r, est_t, gt_r, gt_t):
+    """Scale-aligned KITTI drift % over sub-path lengths of the run."""
+    from cusift_tpu.data.evaluation import camera_centers, horn_align
+    s, _, _ = horn_align(camera_centers(est_r, est_t),
+                         camera_centers(gt_r, gt_t), with_scale=True)
+    est_t = (est_t * s).astype(np.float32)
+    total = trajectory_path_length(gt_r, gt_t)[-1]
+    t_pc, _ = kitti_drift(est_r, est_t, gt_r, gt_t,
+                          lengths=(0.25 * total, 0.5 * total), step=2)
+    return t_pc
+
+
+@pytest.mark.slow
+def test_long_loop_sequence_bounded_drift():
+    """300-frame circuit: loop closures fire and drift stays bounded."""
+    seq = two_plane_sequence(n_frames=300, h=240, w=320, seed=3,
+                             motion_scale=0.9, path="loop", amplitude=6.0)
+    vo_cfg = VOConfig(max_keyframes=96, kf_every=4, loop_temporal_gap=8,
+                      loop_min_inliers=25, loop_min_score=0.05,
+                      loop_min_common=8)
+    vo = MonoVO(seq.intr, sift_cfg=SIFT, vo_cfg=vo_cfg)
+    er, et = vo.run(iter(seq.images))
+
+    n_ok = sum(1 for s in vo.stats if s["ok"])
+    assert n_ok >= 0.9 * len(vo.stats)
+    assert vo.n_kf >= 20
+    assert vo.n_closures >= 1, "deliberate loop must be closed"
+    ate = ate_rmse(er, et, seq.poses_r, seq.poses_t, with_scale=True)
+    path = trajectory_path_length(seq.poses_r, seq.poses_t)[-1]
+    # bounded drift: Sim3 ATE under 12% of path (measured ~10.5% on this
+    # 300-frame scene; the closure correction must also not hurt)
+    assert ate < 0.12 * path, (ate, path)
+    raw_r, raw_t = np.stack(vo.poses_r), np.stack(vo.poses_t)
+    ate_raw = ate_rmse(raw_r, raw_t, seq.poses_r, seq.poses_t,
+                       with_scale=True)
+    assert ate < ate_raw * 1.1, (ate, ate_raw)
+    t_pc = _drift_pct(er, et, seq.poses_r, seq.poses_t)
+    assert np.isfinite(t_pc) and t_pc < 20.0, t_pc
+
+
+@pytest.mark.slow
+def test_scale_recovery_after_blur_burst():
+    """A low-texture burst breaks the scale chain; it must re-lock after.
+
+    The per-pair scale freezes at prev_scale through the burst
+    (scale_common < 8); afterwards the chain re-anchors from fresh
+    triangulations.  Asserts the post-burst segment still tracks and the
+    full-trajectory ATE stays bounded (no runaway scale).
+    """
+    burst = tuple(range(30, 36))
+    seq = two_plane_sequence(n_frames=70, h=240, w=320, seed=5,
+                             motion_scale=0.8, path="sweep", amplitude=8.0,
+                             blur_frames=burst, blur_sigma=6.0)
+    vo = MonoVO(seq.intr, sift_cfg=SIFT)
+    er, et = vo.run(iter(seq.images))
+
+    stats = vo.stats  # stats[i] covers pair (i, i+1)
+    post = stats[40:]
+    assert sum(1 for s in post if s["ok"]) >= 0.8 * len(post)
+    # scale chain re-locks: tracked-depth overlap returns above the gate
+    assert max(s["scale_common"] for s in post) >= 8
+    ate = ate_rmse(er, et, seq.poses_r, seq.poses_t, with_scale=True)
+    path = trajectory_path_length(seq.poses_r, seq.poses_t)[-1]
+    assert ate < 0.12 * path, (ate, path)
+
+
+def test_keyframe_ring_overflow_graceful():
+    """At max_keyframes the map stops growing but odometry continues."""
+    seq = two_plane_sequence(n_frames=14, h=240, w=320, seed=7,
+                             motion_scale=0.8, amplitude=2.0)
+    vo_cfg = VOConfig(max_keyframes=3, kf_every=2, loop_temporal_gap=50)
+    vo = MonoVO(seq.intr, sift_cfg=SIFT, vo_cfg=vo_cfg)
+    er, et = vo.run(iter(seq.images))
+    assert vo.n_kf == 3
+    assert len(er) == 14
+    n_ok = sum(1 for s in vo.stats if s["ok"])
+    assert n_ok >= 0.8 * len(vo.stats)

@@ -90,12 +90,19 @@ class RGBDSequence(NamedTuple):
 def planar_rgbd_sequence(n_frames: int = 12, h: int = 480, w: int = 640,
                          seed: int = 0, plane_depth: float = 2.0,
                          motion_scale: float = 1.0,
-                         detail: float = 0.0) -> RGBDSequence:
+                         detail: float = 0.0,
+                         depth_noise: float = 0.0) -> RGBDSequence:
     """Camera orbiting in front of a textured plane z = plane_depth (world).
 
     The plane's image in any camera is an exact homography of the world
     texture, so rendering uses cv2.warpPerspective and the depth map is
     analytic: z(u, v) = plane-ray intersection.
+
+    depth_noise > 0 perturbs the depth maps with multiplicative Gaussian
+    noise of that relative sigma (sensor-like): rigid-RANSAC tracking on
+    noisy backprojections accumulates drift, the scenario where windowed
+    reprojection BA (whose 2D observations carry no depth error) must
+    measurably reduce trajectory error.
     """
     import cv2
     fx, fy, cx, cy = DEFAULT_INTR
@@ -138,6 +145,9 @@ def planar_rgbd_sequence(n_frames: int = 12, h: int = 480, w: int = 640,
         denom = rays @ n_c
         depth = np.where(np.abs(denom) > 1e-9, d_c / denom, 0.0)
         depth = np.where(depth > 0.05, depth, 0.0)
+        if depth_noise > 0:
+            noise = 1.0 + rs.normal(size=depth.shape) * depth_noise
+            depth = np.where(depth > 0, np.maximum(depth * noise, 0.0), 0.0)
         images.append(img_f.astype(np.float32))
         depths.append(depth.astype(np.float32))
         rots.append(r_wc)

@@ -102,6 +102,13 @@ def pair_step(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
     ratio = depth_a / jnp.maximum(za, 1e-6)
     n_common = jnp.sum(have_prev.astype(jnp.int32))
     med = _masked_median(ratio, have_prev)
+    # NOTE a quantile-restricted median (e.g. nearest-half by za) is NOT a
+    # valid robustification here: selecting on the ratio's own denominator
+    # selects its noise sign and inflates the median mechanically
+    # (measured: chain drift x9 -> x16000 over 70 pairs).  The residual
+    # per-pair scale error is COHERENT (every point shares the pair's
+    # motion-estimate error), so no per-point aggregation can remove it —
+    # bounding the accumulated drift is the loop-closure/Sim(3) layer's job.
     scale_ok = (n_common >= 8) & jnp.isfinite(med) & (med > 1e-6)
     # smooth-motion clamp: consecutive pairs' physical |t| cannot jump an
     # order of magnitude, so a ratio-median far from the previous scale is
@@ -155,26 +162,67 @@ def _loop_verify_step(desc, valid, xyn, depth,
     """
     from .slam import _kf_scores
 
+    from ..config import replace as cfg_replace
+    from ..ops.ransac import find_homography
+
     idx = jnp.arange(kf_desc.shape[0])
     active = (idx < limit) & (idx < exclude_lo)
     scores = _kf_scores(desc, valid, kf_desc, kf_valid, active)
-    cand = jnp.argmax(scores)
-    m = match(desc, valid, kf_desc[cand], kf_valid[cand], match_cfg)
-    xb = kf_xyn[cand][m.idx]
-    res = find_essential(xyn, xb, m.ok & valid, ransac_cfg, key)
-    _, za, zb = triangulate_midpoint(res.r, res.t, xyn, xb)
-    good = res.inliers & (za > 1e-6) & (zb > 1e-6)
-    dcand = kf_depth[cand][m.idx]
-    have_b = good & (dcand > 1e-6)
-    med_b = _masked_median(dcand / jnp.maximum(zb, 1e-6), have_b)
-    n_b = jnp.sum(have_b.astype(jnp.int32))
-    have_a = good & (depth > 1e-6)
-    med_a = _masked_median(depth / jnp.maximum(za, 1e-6), have_a)
-    n_a = jnp.sum(have_a.astype(jnp.int32))
-    return jnp.concatenate([
-        jnp.array([cand, scores[cand], res.ok, res.num_inliers,
-                   n_b, med_b, n_a, med_a], jnp.float32),
-        res.r.reshape(-1), res.t])
+    # verify the TOP-3 retrieval candidates, not just the argmax: the most
+    # similar allowed keyframe is often a geometrically-useless mid-range
+    # view while the genuine revisit sits a few ranks down (measured: the
+    # 300-frame soak's true end-of-loop closure NEVER won the argmax)
+    top_scores, top_idx = jax.lax.top_k(scores, 3)
+
+    def verify(cand, k):
+        m = match(desc, valid, kf_desc[cand], kf_valid[cand], match_cfg)
+        xb = kf_xyn[cand][m.idx]
+        ok_m = m.ok & valid
+        res = find_essential(xyn, xb, ok_m, ransac_cfg, k)
+        # planar-degeneracy guard (the ORB-SLAM H/E model-selection test):
+        # a pair whose shared view is one dominant plane satisfies a
+        # homography and its essential matrix is unconstrained along a
+        # one-parameter family — the soak's worst loop edges (15 deg
+        # rotation error at 40+ "inliers") were exactly these.  Reject
+        # when H explains almost as many correspondences as E.
+        hres = find_homography(
+            xyn, xb, ok_m,
+            cfg_replace(ransac_cfg,
+                        inlier_thresh=2.0 * ransac_cfg.inlier_thresh_epi),
+            k)
+        planar = (hres.num_inliers.astype(jnp.float32)
+                  > 0.85 * jnp.maximum(res.num_inliers.astype(jnp.float32),
+                                       1.0))
+        _, za, zb = triangulate_midpoint(res.r, res.t, xyn, xb)
+        good = res.inliers & (za > 1e-6) & (zb > 1e-6)
+        dcand = kf_depth[cand][m.idx]
+        have_b = good & (dcand > 1e-6)
+        med_b = _masked_median(dcand / jnp.maximum(zb, 1e-6), have_b)
+        n_b = jnp.sum(have_b.astype(jnp.int32))
+        have_a = good & (depth > 1e-6)
+        med_a = _masked_median(depth / jnp.maximum(za, 1e-6), have_a)
+        n_a = jnp.sum(have_a.astype(jnp.int32))
+        ok = res.ok.astype(jnp.float32) * (1.0 - planar)
+        packed = jnp.concatenate([
+            jnp.array([cand, scores[cand], ok, res.num_inliers,
+                       n_b, med_b, n_a, med_a], jnp.float32),
+            res.r.reshape(-1), res.t])
+        # acceptance figure of merit: inliers of candidates that pass the
+        # geometric + degeneracy + scale-overlap gates
+        merit = (ok * res.num_inliers
+                 * (jnp.minimum(n_b, n_a) >= 4).astype(jnp.float32))
+        return packed, merit
+
+    keys = jax.random.split(key, 3)
+    packs, merits = [], []
+    for c in range(3):
+        p, mt = verify(top_idx[c],
+                       keys[c])
+        valid_c = jnp.isfinite(top_scores[c])
+        packs.append(p)
+        merits.append(jnp.where(valid_c, mt, -1.0))
+    best = jnp.argmax(jnp.stack(merits))
+    return jnp.stack(packs)[best]
 
 
 class MonoVO:

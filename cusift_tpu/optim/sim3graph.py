@@ -89,9 +89,22 @@ def _residuals(xi: jnp.ndarray, g: Sim3Graph) -> jnp.ndarray:
     srel, rrel, trel = sim3_compose(si, ri, ti, sji, rji, tji)
     smi, rmi, tmi = sim3_inverse(g.meas_s, g.meas_r, g.meas_t)
     serr, rerr, terr = sim3_compose(smi, rmi, tmi, srel, rrel, trel)
+    # per-edge translation normalisation: monocular chains drift their
+    # unit MULTIPLICATIVELY, so edges measured at different chain epochs
+    # carry |t| differing by orders of magnitude; in absolute units the
+    # large-|t| edges' quadratic terms drown every rotation/log-scale
+    # residual and LM stalls.  Dividing by |t_meas| makes the translation
+    # block a relative error, commensurate with the (dimensionless)
+    # rotation and log-scale blocks.  Near-zero measurements floor at 5%
+    # of the graph's mean |t| so identity-like loop edges stay finite.
+    tmag = jnp.linalg.norm(g.meas_t, axis=-1)
+    active = (g.weight > 0).astype(jnp.float32)
+    mean_t = (jnp.sum(tmag * active)
+              / jnp.maximum(jnp.sum(active), 1.0))
+    tnorm = jnp.maximum(tmag, 0.05 * mean_t + 1e-9)[..., None]
     res = jnp.concatenate(
-        [terr, so3_log(rerr), jnp.log(jnp.maximum(serr, 1e-12))[..., None]],
-        -1)
+        [terr / tnorm, so3_log(rerr),
+         jnp.log(jnp.maximum(serr, 1e-12))[..., None]], -1)
     return res * g.weight[..., None]
 
 

@@ -42,7 +42,7 @@ def test_long_loop_sequence_bounded_drift():
     """300-frame circuit: loop closures fire and drift stays bounded."""
     seq = two_plane_sequence(n_frames=300, h=240, w=320, seed=3,
                              motion_scale=0.9, path="loop", amplitude=6.0)
-    vo_cfg = VOConfig(max_keyframes=96, kf_every=4, loop_temporal_gap=8,
+    vo_cfg = VOConfig(max_keyframes=96, kf_every=4, loop_temporal_gap=30,
                       loop_min_inliers=25, loop_min_score=0.05,
                       loop_min_common=8)
     vo = MonoVO(seq.intr, sift_cfg=SIFT, vo_cfg=vo_cfg)
@@ -54,13 +54,15 @@ def test_long_loop_sequence_bounded_drift():
     assert vo.n_closures >= 1, "deliberate loop must be closed"
     ate = ate_rmse(er, et, seq.poses_r, seq.poses_t, with_scale=True)
     path = trajectory_path_length(seq.poses_r, seq.poses_t)[-1]
-    # bounded drift: Sim3 ATE under 12% of path (measured ~10.5% on this
-    # 300-frame scene; the closure correction must also not hurt)
-    assert ate < 0.12 * path, (ate, path)
+    # bounded drift: Sim3 ATE under 8% of path, and the closures must
+    # IMPROVE on the raw chain (measured 6.8% vs 10.3% raw once the
+    # genuine revisit verifies — top-3 retrieval + wide temporal gap +
+    # H/E planar guard; see BASELINE.md round-3 notes)
+    assert ate < 0.08 * path, (ate, path)
     raw_r, raw_t = np.stack(vo.poses_r), np.stack(vo.poses_t)
     ate_raw = ate_rmse(raw_r, raw_t, seq.poses_r, seq.poses_t,
                        with_scale=True)
-    assert ate < ate_raw * 1.1, (ate, ate_raw)
+    assert ate < ate_raw * 0.85, (ate, ate_raw)
     t_pc = _drift_pct(er, et, seq.poses_r, seq.poses_t)
     assert np.isfinite(t_pc) and t_pc < 20.0, t_pc
 

@@ -28,8 +28,8 @@ def main():
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--size", type=int, nargs=2, default=(480, 640))
-    ap.add_argument("--max-kpts", type=int, default=4096)
-    ap.add_argument("--batch", type=int, default=16,
+    ap.add_argument("--max-kpts", type=int, default=5120)
+    ap.add_argument("--batch", type=int, default=8,
                     help="frames per dispatch for the headline batched "
                          "pipeline (0 = use the two-frame pair step; "
                          "must be 0 or >= 2 — consecutive-pair matching "
@@ -62,16 +62,22 @@ def main():
     img_a, img_b, _ = warped_pair(h, w, seed=1, blobs=800, detail=0.25,
                                   detail_octaves=4)
     # per-octave candidate budgets matched to the scene's measured extrema
-    # density (octave 0 saturated, upper octaves trimmed — every budget
-    # slot costs refine+orientation+descriptor work whether or not a real
-    # extremum fills it); desc_slot_factor trimmed to the measured
-    # secondary-orientation rate
-    sift_cfg = SiftConfig(max_kpts=args.max_kpts,
-                          max_kpts_per_octave=args.max_kpts // 2,
-                          octave_budgets=(2048, 1024, 256, 96, 32),
-                          desc_slot_factor=1.10,
-                          upscale=not args.no_upscale)
-    if args.max_kpts != 4096:
+    # density (octave 0 heavily saturated, upper octaves trimmed — every
+    # budget slot costs refine+orientation+descriptor work whether or not
+    # a real extremum fills it).  The default 5120 capacity is the
+    # measured kpts/s optimum of the round-3 sweep: pyramid/score/top-k/
+    # match (~2.0 ms/frame) are budget-independent, so throughput is
+    # K / (2.0 ms + ~0.95 us * K) and climbs with K until the scene's
+    # valid yield plateaus (docs/kernels.md "Fixed vs per-slot split").
+    if args.max_kpts == 5120:
+        sift_cfg = SiftConfig(max_kpts=5120, max_kpts_per_octave=2560,
+                              octave_budgets=(2560, 1280, 320, 96, 32),
+                              upscale=not args.no_upscale)
+    elif args.max_kpts == 4096:
+        sift_cfg = SiftConfig(max_kpts=4096, max_kpts_per_octave=2048,
+                              octave_budgets=(2048, 1024, 256, 96, 32),
+                              upscale=not args.no_upscale)
+    else:
         sift_cfg = SiftConfig(max_kpts=args.max_kpts,
                               max_kpts_per_octave=args.max_kpts // 2,
                               upscale=not args.no_upscale)

@@ -68,14 +68,15 @@ def main():
     base = SiftConfig(max_kpts=4096, max_kpts_per_octave=2048, upscale=True)
     trim = replace(base, octave_budgets=(2048, 1024, 256, 96, 32))
     ds110 = replace(trim, desc_slot_factor=1.10)
+    k5 = SiftConfig(max_kpts=5120, max_kpts_per_octave=2560, upscale=True,
+                    octave_budgets=(2560, 1280, 320, 96, 32))
+    k6 = SiftConfig(max_kpts=6144, max_kpts_per_octave=3072, upscale=True,
+                    octave_budgets=(3072, 1536, 384, 96, 32))
     variants = {
-        "ds110-b8": (ds110, 8),
-        "ds110-b16": (ds110, 16),
-        "ds125-b16": (trim, 16),
-        "ds110-b24": (ds110, 24),
-        "ds105-b16": (replace(trim, desc_slot_factor=1.05), 16),
-        "big0-b16": (replace(ds110, octave_budgets=(2304, 1024, 256, 96, 32)),
-                     16),
+        "ds125-b8": (trim, 8),
+        "k5120-b8": (k5, 8),
+        "k6144-b8": (k6, 8),
+        "k6144-b16": (k6, 16),
     }
     for tag, (cfg, batch) in variants.items():
         if only and tag not in only:

@@ -104,6 +104,63 @@ def distributed_bundle_adjust(parts: dict, mesh: Mesh,
                jnp.asarray(parts["uv"]), jnp.asarray(parts["w"]))
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _window_ba_dist_fn(mesh: Mesh, match_cfg, ba_cfg: BAConfig,
+                       gate_px: float, n_shards: int):
+    """One cached jitted program per (mesh, configs): the streaming loop
+    calls this every keyframe insert, and rebuilding the shard_map
+    closure per call would retrace each time (measured ~6.5 s/call on
+    the virtual mesh — the scaling-table run caught it)."""
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(), P("map"), P(), P("map"), P("map"),
+                       P("map"), P("map")),
+             out_specs=(P(), P(), P(), P()), check_vma=False)
+    def run(poses_r, poses_t, points, intr, cam_idx, pt_idx, wt, uv):
+        p = BAProblem(poses_r=poses_r, poses_t=poses_t, points=points[0],
+                      intr=intr, cam_idx=cam_idx[0], pt_idx=pt_idx[0],
+                      uv=uv[0], w=wt[0])
+        res = lm_loop(p, ba_cfg, axis_name="map")
+        return res.poses_r, res.poses_t, res.initial_cost, res.cost
+
+    @jax.jit
+    def fn(kf_desc, kf_valid, kf_pts, poses_r, poses_t, intr, win_mask):
+        from ..models.local_ba import build_window_problem
+
+        w, n = kf_valid.shape
+        l_shard = n // n_shards
+        prob = build_window_problem(kf_desc, kf_valid, kf_pts, poses_r,
+                                    poses_t, intr, win_mask, match_cfg,
+                                    gate_px)
+
+        # static landmark-block sharding: [W*N] obs grid -> [S, W*L]
+        def to_shards(a):
+            a = a.reshape((w, n_shards, l_shard) + a.shape[2:])
+            return jnp.moveaxis(a, 1, 0).reshape(
+                (n_shards, w * l_shard) + a.shape[3:])
+
+        uv = to_shards(prob.uv.reshape(w, n, 2))
+        wt = to_shards(prob.w.reshape(w, n))
+        points = prob.points.reshape(n_shards, l_shard, 3)
+        cam_idx = jnp.broadcast_to(
+            jnp.repeat(jnp.arange(w, dtype=jnp.int32), l_shard),
+            (n_shards, w * l_shard))
+        pt_idx = jnp.broadcast_to(
+            jnp.tile(jnp.arange(l_shard, dtype=jnp.int32), w),
+            (n_shards, w * l_shard))
+        r, t, c0, c1 = run(prob.poses_r, prob.poses_t, points, prob.intr,
+                           cam_idx, pt_idx, wt, uv)
+        keep = win_mask[:, None, None] > 0
+        r_out = jnp.where(keep, r, poses_r)
+        t_out = jnp.where(keep[..., 0], t, poses_t)
+        return r_out, t_out, c0, c1
+
+    return fn
+
+
 @f32_matmuls
 def window_ba_dist(kf_desc, kf_valid, kf_pts, poses_r, poses_t, intr,
                    win_mask, mesh: Mesh,
@@ -124,10 +181,10 @@ def window_ba_dist(kf_desc, kf_valid, kf_pts, poses_r, poses_t, intr,
     (`optim/ba.py:lm_loop(axis_name)`).
 
     Drop-in signature for `window_ba` plus `mesh`; returns the same
-    (poses_r, poses_t, initial_cost, final_cost).
+    (poses_r, poses_t, initial_cost, final_cost).  The jitted program is
+    cached per (mesh, configs), so streaming callers pay one compile.
     """
     from ..config import MatchConfig
-    from ..models.local_ba import build_window_problem
 
     if match_cfg is None:
         match_cfg = MatchConfig()
@@ -135,46 +192,11 @@ def window_ba_dist(kf_desc, kf_valid, kf_pts, poses_r, poses_t, intr,
         ba_cfg = BAConfig(max_iters=5, cg_iters=15, num_fixed_poses=2,
                           huber_delta=4.0)
     n_shards = mesh.shape["map"]
-    w, n = kf_valid.shape
+    n = kf_valid.shape[1]
     assert n % n_shards == 0, (n, n_shards)
-    l_shard = n // n_shards
-
-    @partial(jax.jit, static_argnames=())
-    @partial(shard_map, mesh=mesh,
-             in_specs=(P(), P(), P("map"), P(), P("map"), P("map"),
-                       P("map"), P("map")),
-             out_specs=(P(), P(), P(), P()), check_vma=False)
-    def run(poses_r, poses_t, points, intr, cam_idx, pt_idx, wt, uv):
-        p = BAProblem(poses_r=poses_r, poses_t=poses_t, points=points[0],
-                      intr=intr, cam_idx=cam_idx[0], pt_idx=pt_idx[0],
-                      uv=uv[0], w=wt[0])
-        res = lm_loop(p, ba_cfg, axis_name="map")
-        return res.poses_r, res.poses_t, res.initial_cost, res.cost
-
-    prob = build_window_problem(kf_desc, kf_valid, kf_pts, poses_r,
-                                poses_t, intr, win_mask, match_cfg, gate_px)
-    # static landmark-block sharding: [W*N] obs grid -> [S, W*L]
-    def to_shards(a):
-        a = a.reshape((w, n_shards, l_shard) + a.shape[2:])
-        return jnp.moveaxis(a, 1, 0).reshape(
-            (n_shards, w * l_shard) + a.shape[3:])
-
-    uv = to_shards(prob.uv.reshape(w, n, 2))
-    wt = to_shards(prob.w.reshape(w, n))
-    points = prob.points.reshape(n_shards, l_shard, 3)
-    cam_idx = jnp.broadcast_to(
-        jnp.repeat(jnp.arange(w, dtype=jnp.int32), l_shard),
-        (n_shards, w * l_shard))
-    pt_idx = jnp.broadcast_to(
-        jnp.tile(jnp.arange(l_shard, dtype=jnp.int32), w),
-        (n_shards, w * l_shard))
-
-    r, t, c0, c1 = run(prob.poses_r, prob.poses_t, points, prob.intr,
-                       cam_idx, pt_idx, wt, uv)
-    keep = win_mask[:, None, None] > 0
-    r_out = jnp.where(keep, r, poses_r)
-    t_out = jnp.where(keep[..., 0], t, poses_t)
-    return r_out, t_out, c0, c1
+    fn = _window_ba_dist_fn(mesh, match_cfg, ba_cfg, float(gate_px),
+                            int(n_shards))
+    return fn(kf_desc, kf_valid, kf_pts, poses_r, poses_t, intr, win_mask)
 
 
 def gather_points(parts: dict, sharded_points) -> np.ndarray:

@@ -1,0 +1,104 @@
+"""Diagnose the 300-frame soak's KITTI segment drift (CPU).
+
+Reproduces tests/test_vo_sequence.py::test_long_loop_sequence_bounded_drift
+exactly and prints the full accuracy decomposition: ATE (corrected + raw),
+segment drift per subsequence start, the chained-scale history, and the
+Sim(3) correction's per-keyframe scales — to locate WHERE the 1/4- and
+1/2-path relative translations go wrong.
+
+Run: env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+     PYTHONPATH=/root/repo python scripts/diag_drift.py
+"""
+
+import json
+
+import numpy as np
+
+from cusift_tpu.config import SiftConfig, VOConfig
+from cusift_tpu.data.evaluation import (ate_rmse, camera_centers, horn_align,
+                                        kitti_drift, trajectory_path_length)
+from cusift_tpu.data.synthetic import two_plane_sequence
+from cusift_tpu.models.odometry import MonoVO
+
+SIFT = SiftConfig(max_kpts=384, max_kpts_per_octave=256, num_octaves=3)
+
+
+def seg_drift_detail(est_r, est_t, gt_r, gt_t, lengths, step=2):
+    dist = trajectory_path_length(gt_r, gt_t)
+    n = len(gt_r)
+    est_r = np.asarray(est_r, np.float64)
+    est_t = np.asarray(est_t, np.float64)
+    gt_r = np.asarray(gt_r, np.float64)
+    gt_t = np.asarray(gt_t, np.float64)
+
+    def rel(r, t, i, j):
+        rr = r[i] @ r[j].T
+        tt = t[i] - rr @ t[j]
+        return rr, tt
+
+    rows = []
+    for first in range(0, n, step):
+        for length in lengths:
+            target = dist[first] + length
+            j = int(np.searchsorted(dist, target))
+            if j >= n:
+                continue
+            re_, te_ = rel(est_r, est_t, first, j)
+            rg_, tg_ = rel(gt_r, gt_t, first, j)
+            td = re_.T @ (tg_ - te_)
+            # split: how much of the error is segment-length (scale) vs
+            # direction?
+            mag_e, mag_g = np.linalg.norm(te_), np.linalg.norm(tg_)
+            rows.append((first, j, length, np.linalg.norm(td) / length,
+                         mag_e / max(mag_g, 1e-9)))
+    return rows
+
+
+def main():
+    seq = two_plane_sequence(n_frames=300, h=240, w=320, seed=3,
+                             motion_scale=0.9, path="loop", amplitude=6.0)
+    vo_cfg = VOConfig(max_keyframes=96, kf_every=4, loop_temporal_gap=30,
+                      loop_min_inliers=25, loop_min_score=0.05,
+                      loop_min_common=8)
+    vo = MonoVO(seq.intr, sift_cfg=SIFT, vo_cfg=vo_cfg)
+    er, et = vo.run(iter(seq.images))
+
+    path = trajectory_path_length(seq.poses_r, seq.poses_t)[-1]
+    ate = ate_rmse(er, et, seq.poses_r, seq.poses_t, with_scale=True)
+    raw_r, raw_t = np.stack(vo.poses_r), np.stack(vo.poses_t)
+    ate_raw = ate_rmse(raw_r, raw_t, seq.poses_r, seq.poses_t,
+                       with_scale=True)
+    print(json.dumps({
+        "n_kf": vo.n_kf, "closures": vo.n_closures,
+        "tracked": sum(1 for s in vo.stats if s["ok"]),
+        "ate": round(float(ate), 4), "ate_raw": round(float(ate_raw), 4),
+        "path": round(float(path), 3),
+        "ate_pct": round(100 * float(ate) / path, 2),
+    }), flush=True)
+
+    for name, (r, t) in (("corrected", (er, et)), ("raw", (raw_r, raw_t))):
+        s, _, _ = horn_align(camera_centers(r, t),
+                             camera_centers(seq.poses_r, seq.poses_t),
+                             with_scale=True)
+        ta = (t * s).astype(np.float32)
+        t_pc, r_dpm = kitti_drift(r, ta, seq.poses_r, seq.poses_t,
+                                  lengths=(0.25 * path, 0.5 * path), step=2)
+        print(json.dumps({"traj": name, "horn_scale": round(float(s), 4),
+                          "t_pct": round(float(t_pc), 2),
+                          "r_dpm": round(float(r_dpm), 4)}), flush=True)
+        rows = seg_drift_detail(r, ta, seq.poses_r, seq.poses_t,
+                                lengths=(0.25 * path, 0.5 * path), step=10)
+        for fr, j, ln, err, smag in rows:
+            print(f"  {name} start={fr:3d} end={j:3d} L={ln:6.2f} "
+                  f"t_err={100 * err:6.1f}% |t_e|/|t_g|={smag:5.2f}")
+
+    # chained scale history (the mono random walk) + Sim3 node scales
+    scales = [s["scale"] for s in vo.stats]
+    print("scale chain:", " ".join(f"{v:.3f}" for v in scales[::10]))
+    if getattr(vo, "_corr", None) is not None:
+        cs = vo._corr[2][:vo.n_kf]
+        print("sim3 node scales:", " ".join(f"{v:.3f}" for v in cs[::4]))
+
+
+if __name__ == "__main__":
+    main()

@@ -82,6 +82,13 @@ class SiftConfig:
     # "auto" (currently XLA — its fused conv chain is already near
     # memory-bound on v5e), "pallas", or "xla"
     fused_pyramid: str = "auto"
+    # extremum-score arithmetic dtype: "f32" or "bf16".  The dense score
+    # stage (3x3x3 window max/min + |DoG| ranking) is HBM-bound at ~11% of
+    # light; bf16 halves its bytes.  Scores only RANK candidates into the
+    # static budget, so bf16's ~3 decimal digits perturb the same weak
+    # tail that approx_topk's 0.95 recall already does; refinement reads
+    # the f32 DoG regardless.  Kept opt-in until measured on chip.
+    score_dtype: str = "f32"
 
     dtype: str = "float32"
 
@@ -232,9 +239,11 @@ class VOConfig:
 
     Adds the keyframe ring + loop closure + pose graph that bound drift on
     long sequences; mirrors SlamConfig for the RGB-D backend.  The pose
-    graph is SE3 with the monocular scale carried by the depth-ratio chain
-    (models/odometry.py) — scale drift around a loop is absorbed into the
-    translation corrections, the standard mono-SLAM-lite compromise.
+    graph is Sim(3) (optim/sim3graph.py): monocular scale drift along the
+    chain is an explicit per-node degree of freedom, and loop edges carry
+    the measured relative epoch scale (models/odometry.py
+    `_loop_verify_step`) — an SE(3) graph physically cannot absorb the
+    inconsistency (tests/test_sim3.py has the constructed failure).
     """
 
     max_keyframes: int = 128

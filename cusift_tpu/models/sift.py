@@ -106,7 +106,13 @@ def _octave_planes(img: jnp.ndarray, cfg: SiftConfig):
             gauss = jnp.stack(levels)
             dog = gauss[1:] - gauss[:-1]
             samp = gauss[1:s_ + 1]
-            score = extrema_score(dog, cfg)
+            # scores only rank candidates into the static budget; bf16
+            # halves the HBM traffic of the dense window max/min stage
+            # (config.py score_dtype — opt-in, measured on chip first).
+            # Refinement gathers read the f32 DoG either way.
+            sdog = (dog.astype(jnp.bfloat16) if cfg.score_dtype == "bf16"
+                    else dog)
+            score = extrema_score(sdog, cfg)   # bf16 rides through top-k
         out.append((samp, dog, score))
         base = downsample2(samp[s_ - 1])   # level S carries 2x sigma0 blur
     return out

@@ -55,12 +55,19 @@ def seg_drift_detail(est_r, est_t, gt_r, gt_t, lengths, step=2):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ba-window", type=int, default=0)
+    ap.add_argument("--ba-every", type=int, default=2)
+    args = ap.parse_args()
+
     seq = two_plane_sequence(n_frames=300, h=240, w=320, seed=3,
                              motion_scale=0.9, path="loop", amplitude=6.0)
     vo_cfg = VOConfig(max_keyframes=96, kf_every=4, loop_temporal_gap=30,
                       loop_min_inliers=25, loop_min_score=0.05,
                       loop_min_common=8)
-    vo = MonoVO(seq.intr, sift_cfg=SIFT, vo_cfg=vo_cfg)
+    vo = MonoVO(seq.intr, sift_cfg=SIFT, vo_cfg=vo_cfg,
+                ba_window=args.ba_window, ba_every=args.ba_every)
     er, et = vo.run(iter(seq.images))
 
     path = trajectory_path_length(seq.poses_r, seq.poses_t)[-1]
@@ -92,9 +99,21 @@ def main():
             print(f"  {name} start={fr:3d} end={j:3d} L={ln:6.2f} "
                   f"t_err={100 * err:6.1f}% |t_e|/|t_g|={smag:5.2f}")
 
-    # chained scale history (the mono random walk) + Sim3 node scales
+    # chained scale history (the mono random walk) + Sim3 node scales.
+    # `scale` estimates the physical per-pair |t| in global units, so the
+    # honest error signal is its ratio to the TRUE per-pair |t| (up to the
+    # one global gauge factor): a flat ratio profile = no scale drift.
     scales = [s["scale"] for s in vo.stats]
     print("scale chain:", " ".join(f"{v:.3f}" for v in scales[::10]))
+    gt_step = []
+    for i in range(1, len(seq.poses_r)):
+        rr = seq.poses_r[i] @ seq.poses_r[i - 1].T
+        tt = seq.poses_t[i] - rr @ seq.poses_t[i - 1]
+        gt_step.append(np.linalg.norm(tt))
+    ratio = np.array(scales) / np.maximum(np.array(gt_step), 1e-9)
+    ratio /= np.median(ratio)
+    print("scale/|t|_true (gauge-normalised):",
+          " ".join(f"{v:.2f}" for v in ratio[::10]))
     if getattr(vo, "_corr", None) is not None:
         cs = vo._corr[2][:vo.n_kf]
         print("sim3 node scales:", " ".join(f"{v:.3f}" for v in cs[::4]))

@@ -203,7 +203,8 @@ def cmd_odo(args):
         gt = (seq.poses_r, seq.poses_t)
 
     from .config import VOConfig
-    vo_cfg = VOConfig() if args.loop else None
+    vo_cfg = (VOConfig(map_anchor=args.map_anchor)
+              if (args.loop or args.map_anchor) else None)
     if args.dist:
         from .parallel.mesh import init_distributed
         init_distributed()
@@ -350,6 +351,10 @@ def main(argv=None):
                    help="sequence-scale frontend: keyframe ring + loop "
                         "closure + Sim(3) pose graph (bounds long-run "
                         "drift)")
+    o.add_argument("--map-anchor", action="store_true",
+                   help="persistent-landmark map + PnP localisation "
+                        "(anchors the monocular scale to the map instead "
+                        "of the per-pair chain; implies --loop)")
     o.add_argument("--dist", action="store_true",
                    help="shard the windowed-BA Schur solve over every "
                         "device's map axis (needs --ba-window and >1 "

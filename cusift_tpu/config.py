@@ -179,6 +179,14 @@ class RansacConfig:
     # Sampson epipolar error in NORMALISED camera coords (pixels / focal);
     # 2e-3 ~ 1.4 px at KITTI's f~700 (essential-matrix RANSAC, monocular)
     inlier_thresh_epi: float = 2e-3
+    # reprojection error in normalised coords for PnP (map-anchored
+    # monocular localisation); 6e-3 ~ 4 px at f~700 — landmarks carry
+    # triangulation noise, so the gate is looser than the epipolar one
+    inlier_thresh_pnp: float = 6e-3
+    # PnP hypotheses solve NON-minimal samples: low-parallax landmark
+    # noise amplifies through a minimal 6-point DLT (measured: RANSAC
+    # converges to garbage on the two-plane scene at sample size 6)
+    pnp_sample_size: int = 12
     refine_iters: int = 5               # IRLS rounds on the winner's inliers
     min_matches: int = 8
     seed: int = 0
@@ -258,6 +266,21 @@ class VOConfig:
     loop_temporal_gap: int = 20     # keyframes; ignore recent neighbours
     loop_min_inliers: int = 60      # essential-inlier verification gate
     loop_min_common: int = 8        # tracked-depth overlap for edge scale
+    # persistent-map scale anchoring (models/monomap.py): localise every
+    # frame against a landmark map with PnP RANSAC instead of trusting the
+    # per-pair depth-ratio scale chain (whose coherent error random-walks
+    # multiplicatively — BASELINE.md round-3 drift campaign)
+    map_anchor: bool = False
+    map_size: int = 8192            # landmark table capacity
+    map_active_kf: int = 6          # match only landmarks seen this recently
+    map_insert_budget: int = 512    # new landmarks per keyframe
+    map_min_inliers: int = 20       # PnP acceptance gate
+    # per-frame exponent on the measured map/chain scale ratio: the map
+    # anchors the LOW-frequency scale (drift correction with a ~1/gain
+    # frame time constant) while the chain keeps per-frame smoothness —
+    # gain 1.0 injects the anchor measurement's full per-frame noise
+    # (measured ±15% on the two-plane scene), gain 0 disables anchoring
+    map_scale_gain: float = 0.4
 
 
 @dataclass(frozen=True)

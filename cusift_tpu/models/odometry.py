@@ -48,13 +48,8 @@ class PairOdometry(NamedTuple):
     ok: jnp.ndarray           # bool: essential RANSAC succeeded
 
 
-def _masked_median(vals: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """Median of vals[mask]; +inf-padded sort + middle index (static shape)."""
-    n = vals.shape[0]
-    cnt = jnp.sum(mask.astype(jnp.int32))
-    s = jnp.sort(jnp.where(mask, vals, jnp.inf))
-    mid = jnp.clip((cnt - 1) // 2, 0, n - 1)
-    return s[mid]
+# shared with the map-anchored frontend (models/monomap.py)
+from ..ops.geometry import masked_median as _masked_median  # noqa: E402
 
 
 @partial(jax.jit, static_argnames=("sift_cfg", "match_cfg", "ransac_cfg"))
@@ -296,6 +291,17 @@ class MonoVO:
             self._kf_depth = jnp.zeros((kf, n), jnp.float32)
             # pose-graph edges (host lists, bounded by keyframe count)
             self._edges: list[tuple] = []   # (i, j, meas_r, meas_t, weight)
+            if vo_cfg.map_anchor:
+                # persistent landmark map + device-side pose state (the
+                # pose select runs inside the jitted step — uploading the
+                # previous pose per frame would cost a tunnel round-trip)
+                from .monomap import empty_map
+                self._lmap = empty_map(vo_cfg.map_size)
+                self._map_inl = None
+                self._dev_pose = (jnp.eye(3, dtype=jnp.float32),
+                                  jnp.zeros(3, jnp.float32))
+                self._dev_rel = (jnp.eye(3, dtype=jnp.float32),
+                                 jnp.zeros(3, jnp.float32))
 
     def _extract(self, dimg):
         f = extract(dimg, self.sift_cfg)
@@ -331,37 +337,83 @@ class MonoVO:
                         self._depth, dimg, self.intr, self._scale,
                         self.sift_cfg, self.match_cfg, self.ransac_cfg, sub,
                         content)
-        # one packed fetch for every per-frame scalar (host-link discipline)
-        packed = np.array(jnp.concatenate([
-            out.r_rel.reshape(-1), out.t_rel,
-            jnp.stack([out.scale, out.num_inliers.astype(jnp.float32),
-                       out.scale_common.astype(jnp.float32),
-                       out.ok.astype(jnp.float32)])]))
-        r_rel = packed[:9].reshape(3, 3)
-        t_rel = packed[9:12]
-        scale, n_inl, n_common, ok = packed[12:16]
-        if ok < 0.5:
-            r_rel, t_rel = self._last_rel    # constant-velocity fallback
-        else:
+        map_mode = self.vo_cfg is not None and self.vo_cfg.map_anchor
+        pnp_inl, pnp_ok = 0, False
+        if map_mode:
+            # persistent-map tracking: PnP against the landmark map with
+            # on-device pose selection (models/monomap.py); the chain pose
+            # stays the fallback and the fetch stays ONE packed array
+            from .monomap import localize_step
+            self._key, sub2 = jax.random.split(self._key)
+            fb = out.feats
+            mt = localize_step(
+                fb.desc, fb.valid, fb.x, fb.y, self.intr,
+                out.depth, out.pts, out.ok, out.r_rel, out.t_rel,
+                out.scale, self._scale,
+                self._dev_pose[0], self._dev_pose[1],
+                self._dev_rel[0], self._dev_rel[1],
+                self._lmap, jnp.int32(self.n_kf),
+                jnp.int32(self.n_kf - self.vo_cfg.map_active_kf),
+                jnp.int32(self.vo_cfg.map_min_inliers),
+                jnp.float32(self.vo_cfg.map_scale_gain),
+                self.match_cfg, self.ransac_cfg, sub2)
+            self._lmap = mt.lmap
+            self._map_inl = mt.inliers
+            self._dev_pose = (mt.pose_r, mt.pose_t)
+            self._dev_rel = (mt.rel_r, mt.rel_t)
+            self._scale = mt.scale
+            packed = np.array(jnp.concatenate([
+                jnp.stack([out.num_inliers.astype(jnp.float32),
+                           out.scale_common.astype(jnp.float32),
+                           out.ok.astype(jnp.float32)]),
+                mt.packed]))
+            n_inl, n_common, ok = packed[0:3]
+            r_new = packed[3:12].reshape(3, 3).astype(np.float32)
+            t_new = packed[12:15].astype(np.float32)
+            scale, pnp_inl, pnp_ok = (float(packed[15]), int(packed[16]),
+                                      bool(packed[17] > 0.5))
+            r_prev, t_prev = self.poses_r[-1], self.poses_t[-1]
+            r_rel = r_new @ r_prev.T
+            t_rel = t_new - r_rel @ t_prev
             self._last_rel = (r_rel, t_rel)
-            self._scale = jnp.float32(scale)
-        r_prev, t_prev = self.poses_r[-1], self.poses_t[-1]
-        self.poses_r.append((r_rel @ r_prev).astype(np.float32))
-        self.poses_t.append((r_rel @ t_prev + t_rel).astype(np.float32))
+            self.poses_r.append(r_new)
+            self.poses_t.append(t_new)
+            self._depth = mt.depth
+            ring_entry = (fb.desc, fb.valid & (mt.depth > 1e-6), mt.pts)
+        else:
+            # one packed fetch for every per-frame scalar (host-link
+            # discipline)
+            packed = np.array(jnp.concatenate([
+                out.r_rel.reshape(-1), out.t_rel,
+                jnp.stack([out.scale, out.num_inliers.astype(jnp.float32),
+                           out.scale_common.astype(jnp.float32),
+                           out.ok.astype(jnp.float32)])]))
+            r_rel = packed[:9].reshape(3, 3)
+            t_rel = packed[9:12]
+            scale, n_inl, n_common, ok = packed[12:16]
+            if ok < 0.5:
+                r_rel, t_rel = self._last_rel  # constant-velocity fallback
+            else:
+                self._last_rel = (r_rel, t_rel)
+                self._scale = jnp.float32(scale)
+            r_prev, t_prev = self.poses_r[-1], self.poses_t[-1]
+            self.poses_r.append((r_rel @ r_prev).astype(np.float32))
+            self.poses_t.append((r_rel @ t_prev + t_rel).astype(np.float32))
+            # depths triangulated from a REJECTED essential model are
+            # garbage: zero the carried chain so the scale re-anchors from
+            # the next successful pair instead of chaining through the bad
+            # model, and keep the frame's BA observations masked out too
+            self._depth = (out.depth if ok > 0.5
+                           else jnp.zeros_like(out.depth))
+            ring_entry = (out.feats.desc,
+                          out.feats.valid & (out.depth > 1e-6)
+                          & jnp.bool_(ok > 0.5), out.pts)
         step = float(np.linalg.norm(t_rel))
         self._ema_step = (step if self._ema_step == 0.0
                           else 0.8 * self._ema_step + 0.2 * step)
         self._feats = out.feats
-        # depths triangulated from a REJECTED essential model are garbage:
-        # zero the carried chain so the scale re-anchors from the next
-        # successful pair instead of chaining through the bad model, and
-        # keep the frame's BA observations masked out for the same reason
-        self._depth = (out.depth if ok > 0.5
-                       else jnp.zeros_like(out.depth))
         if self.ba_window:
-            valid_pts = (out.feats.valid & (out.depth > 1e-6)
-                         & jnp.bool_(ok > 0.5))
-            self._ring.append((out.feats.desc, valid_pts, out.pts))
+            self._ring.append(ring_entry)
             self._ring = self._ring[-self.ba_window:]
             if (len(self._ring) == self.ba_window
                     and (len(self.poses_r) - 1) % self.ba_every == 0):
@@ -372,6 +424,7 @@ class MonoVO:
             loop = self._maybe_keyframe()
         stat = dict(inliers=int(n_inl), scale=float(scale),
                     scale_common=int(n_common), ok=bool(ok > 0.5),
+                    pnp_inliers=pnp_inl, pnp_ok=pnp_ok,
                     keyframe=bool(self.vo_cfg is not None and self._kf_frame
                                   and self._kf_frame[-1]
                                   == len(self.poses_r) - 1),
@@ -421,6 +474,18 @@ class MonoVO:
             self._edges.append((i - 1, i, m_r, m_t, 1.0, 1.0))
         self._kf_frame.append(len(self.poses_r) - 1)
         self.n_kf = i + 1
+        if self.vo_cfg.map_anchor:
+            # triangulated (map-scale) depths of this keyframe become new
+            # landmarks; slots that just localised against the map are
+            # excluded (they ARE existing landmarks)
+            from .monomap import insert_step
+            inl = (self._map_inl if self._map_inl is not None
+                   else jnp.zeros(f.valid.shape[0], bool))
+            self._lmap = insert_step(
+                self._lmap, f.desc, f.valid, f.response, f.x, f.y,
+                self.intr, self._depth, inl,
+                self._dev_pose[0], self._dev_pose[1], jnp.int32(i),
+                self.vo_cfg.map_insert_budget)
         return True
 
     def _maybe_keyframe(self) -> bool:
@@ -593,6 +658,12 @@ class MonoVO:
             self.poses_r[i] = rs[k].astype(np.float32)
             self.poses_t[i] = ts[k].astype(np.float32)
         self._last_ba = (float(c0), float(c1))
+        if self.vo_cfg is not None and self.vo_cfg.map_anchor:
+            # BA rewrote the newest pose: refresh the device pose state
+            # (one small upload per BA call, amortised over ba_every
+            # frames — the per-frame path never uploads)
+            self._dev_pose = (jnp.asarray(self.poses_r[-1]),
+                              jnp.asarray(self.poses_t[-1]))
 
     def run(self, frames, max_frames: int | None = None) -> tuple:
         for i, img in enumerate(frames):

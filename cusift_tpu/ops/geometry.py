@@ -23,6 +23,18 @@ def apply_homography(h: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
 
 
 @f32_matmuls
+def masked_median(vals: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Median of vals[mask]; +inf-padded sort + middle index (static shape).
+
+    Returns +inf when the mask is empty (callers gate on the count).
+    """
+    n = vals.shape[0]
+    cnt = jnp.sum(mask.astype(jnp.int32))
+    s = jnp.sort(jnp.where(mask, vals, jnp.inf))
+    mid = jnp.clip((cnt - 1) // 2, 0, n - 1)
+    return s[mid]
+
+
 def normalise_points(pts: jnp.ndarray, w: jnp.ndarray):
     """Hartley normalisation: zero-mean, mean length sqrt(2); weighted.
 
@@ -90,6 +102,21 @@ def procrustes(pa: jnp.ndarray, pb: jnp.ndarray, w: jnp.ndarray,
     cb = jnp.sum(pb * w[:, None], 0) / wsum
     # Horn convention: S[i, j] = sum_n a_i b_j (A -> B rotation)
     s_ = ((pa - ca) * w[:, None]).T @ (pb - cb)       # [3, 3]
+    r = rotation_from_cross_covariance(s_, iters)
+    t = cb - r @ ca
+    return r, t
+
+
+@f32_matmuls
+def rotation_from_cross_covariance(s_: jnp.ndarray,
+                                   iters: int = 16) -> jnp.ndarray:
+    """Rotation maximising tr(R S) from a 3x3 cross-covariance S.
+
+    The quaternion-eigenvector core of Horn's method, shared by
+    `procrustes` (S = weighted cross-covariance of two point clouds) and
+    `ops/pnp.py` (nearest rotation to a projective 3x3: S = M^T).  Always
+    a proper rotation; pure VPU math that vmaps over hypothesis batches.
+    """
     sxx, sxy, sxz = s_[0, 0], s_[0, 1], s_[0, 2]
     syx, syy, syz = s_[1, 0], s_[1, 1], s_[1, 2]
     szx, szy, szz = s_[2, 0], s_[2, 1], s_[2, 2]
@@ -121,8 +148,7 @@ def procrustes(pa: jnp.ndarray, pb: jnp.ndarray, w: jnp.ndarray,
         [2 * (qx * qz - qy * qw), 2 * (qy * qz + qx * qw),
          1 - 2 * (qx * qx + qy * qy)],
     ])
-    t = cb - r @ ca
-    return r, t
+    return r
 
 
 @f32_matmuls

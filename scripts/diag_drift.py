@@ -59,13 +59,21 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ba-window", type=int, default=0)
     ap.add_argument("--ba-every", type=int, default=2)
+    ap.add_argument("--map-anchor", action="store_true",
+                    help="persistent-map PnP scale anchoring "
+                         "(models/monomap.py) instead of the pair chain")
+    ap.add_argument("--map-active-kf", type=int, default=6)
+    ap.add_argument("--map-min-inliers", type=int, default=20)
     args = ap.parse_args()
 
     seq = two_plane_sequence(n_frames=300, h=240, w=320, seed=3,
                              motion_scale=0.9, path="loop", amplitude=6.0)
     vo_cfg = VOConfig(max_keyframes=96, kf_every=4, loop_temporal_gap=30,
                       loop_min_inliers=25, loop_min_score=0.05,
-                      loop_min_common=8)
+                      loop_min_common=8, map_anchor=args.map_anchor,
+                      map_size=4096, map_insert_budget=256,
+                      map_active_kf=args.map_active_kf,
+                      map_min_inliers=args.map_min_inliers)
     vo = MonoVO(seq.intr, sift_cfg=SIFT, vo_cfg=vo_cfg,
                 ba_window=args.ba_window, ba_every=args.ba_every)
     er, et = vo.run(iter(seq.images))
@@ -78,6 +86,7 @@ def main():
     print(json.dumps({
         "n_kf": vo.n_kf, "closures": vo.n_closures,
         "tracked": sum(1 for s in vo.stats if s["ok"]),
+        "pnp_tracked": sum(1 for s in vo.stats if s.get("pnp_ok")),
         "ate": round(float(ate), 4), "ate_raw": round(float(ate_raw), 4),
         "path": round(float(path), 3),
         "ate_pct": round(100 * float(ate) / path, 2),

@@ -275,6 +275,14 @@ class VOConfig:
     map_active_kf: int = 6          # match only landmarks seen this recently
     map_insert_budget: int = 512    # new landmarks per keyframe
     map_min_inliers: int = 20       # PnP acceptance gate
+    # observations a landmark must fold into its running mean before it
+    # FREEZES and may anchor the scale: a fresh landmark replays its
+    # creation pair's coherent error (anchoring on it is the chain in
+    # disguise), and continued refinement after maturity makes the map
+    # follow the drift it should resist (BASELINE.md round-3 map-anchor
+    # campaign)
+    map_min_obs: int = 8
+    map_min_anchor: int = 16        # mature landmarks needed per accept
     # per-frame exponent on the measured map/chain scale ratio: the map
     # anchors the LOW-frequency scale (drift correction with a ~1/gain
     # frame time constant) while the chain keeps per-frame smoothness —

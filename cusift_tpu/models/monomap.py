@@ -60,7 +60,8 @@ class LandmarkMap(NamedTuple):
 class MapTrack(NamedTuple):
     """Device-side outputs of one map-tracking frame step."""
 
-    packed: jnp.ndarray   # [15] host fetch: r(9), t(3), scale, n_pnp, ok_pnp
+    packed: jnp.ndarray   # [17] host fetch: r(9), t(3), scale, n_pnp,
+                          #      ok_pnp, s_med, n_anchor
     pose_r: jnp.ndarray   # [3, 3] selected world-to-camera pose
     pose_t: jnp.ndarray   # [3]
     rel_r: jnp.ndarray    # [3, 3] selected relative motion (next fallback)
@@ -89,7 +90,7 @@ def localize_step(desc, valid, x, y, intr, depth_chain, pts_chain,
                   pair_ok, pair_r_rel, pair_t_rel, chain_scale, prev_scale,
                   prev_r, prev_t, last_rel_r, last_rel_t,
                   lmap: LandmarkMap, kf_epoch, active_lo, min_inliers,
-                  scale_gain,
+                  min_obs, min_anchor, scale_gain,
                   match_cfg: MatchConfig, ransac_cfg: RansacConfig,
                   key) -> MapTrack:
     """Finish one map-anchored frame: match + PnP + on-device pose select.
@@ -119,40 +120,46 @@ def localize_step(desc, valid, x, y, intr, depth_chain, pts_chain,
     res = find_pnp(pts_lm, xyn, ok_m, ransac_cfg, key,
                    init=(r_chain, t_chain))
 
-    # Map-anchored SCALE, not map-anchored translation.  At the mono
-    # workload's depth/baseline ratio (z/b ~ 30-100) the DLT translation
-    # is weakly observable — a 40% |t| error costs only ~noise-level
-    # reprojection (measured on the two-plane scene: one such accept
-    # rescales the depth chain, the next keyframe inserts corrupted
-    # landmarks, tracking diverges).  The epipolar pair constrains
-    # rotation + direction STRONGLY; what the map must supply is the
-    # scale.  So: depth-ratio median of the PnP-inlier landmarks' map
-    # depths against this frame's |t|=1 triangulation — the chain's own
-    # robust scale estimator, but referenced to persistent
-    # (running-mean-refined) geometry instead of the previous pair's
-    # noisy depths.  Three hard-won gates (300-frame soak campaign):
-    # * z_map comes from the PNP pose, NOT the chain candidate: the
-    #   chain pose's accumulated translation error couples into the
-    #   landmark depths and closes a positive feedback loop under
-    #   receding motion (measured: scale ran away x12 over 100 frames);
-    #   the PnP pose places the camera self-consistently in the map, and
-    #   its weakly-observable along-ray error moves z by only ~1%.
-    # * only MATURE landmarks (>= 2 folded observations) anchor — a
-    #   fresh landmark replays its creation pair's coherent error, so
-    #   anchoring against it is the chain in disguise.
-    # * low-parallax gate, same rationale/threshold as pair_step
-    #   (models/odometry.py): unit-triangulation depths beyond ~500
-    #   are noise-dominated with a heavy high tail that biases the
-    #   ratio median.
-    z_map = (pts_lm @ res.r.T + res.t)[:, 2]
+    # Map-anchored SCALE, not map-anchored translation — and the scale
+    # observable must be POSE-FREE.  Two measured dead ends (300-frame
+    # soak campaign) motivate the shape of this estimator:
+    # * PnP translation is weakly observable at this depth/baseline
+    #   ratio (z/b ~ 30-100): adopting |t_pnp| as the scale injects a
+    #   40% error per accept and cascades through the depth chain.
+    # * landmark depths UNDER A POSE are no better: the along-ray pose
+    #   component is exactly PnP's weak direction, and with the chain
+    #   candidate seeding the hypothesis pool the solution settles near
+    #   the chain pose — z_map/za then measures the chain against
+    #   itself (s_med/scale pinned at ~1.00, anchor corrects nothing).
+    # The similarity-transform scale needs no pose at all: the matched
+    # landmark cloud (map units, world frame) and this frame's fresh
+    # |t|=1 triangulation (unit-baseline camera frame) differ by one
+    # rotation + translation + SCALE, so the ratio of INTER-POINT
+    # distances is a direct scale measurement — rotation and
+    # translation cancel, the pair's coherent |t| error scales the
+    # whole fresh cloud and is exactly the signal.  Median over rolled
+    # pairings at several strides.  Gates: only MATURE landmarks
+    # (>= min_obs folded observations — a fresh landmark replays its
+    # creation pair's coherent error), the low-parallax cut of
+    # pair_step (za > 500 is noise-dominated), and a minimum fresh
+    # separation (near-coincident points make the ratio noise/noise).
     za_unit = depth_chain / jnp.maximum(chain_scale, 1e-12)
-    mature = lmap.nobs[m.idx] >= 2
-    have = (res.inliers & ok_m & mature
-            & (za_unit > 1e-6) & (za_unit < 500.0) & (z_map > 1e-6))
-    n_anchor = jnp.sum(have.astype(jnp.int32))
-    s_med = masked_median(z_map / jnp.maximum(za_unit, 1e-6), have)
+    p_unit = pts_chain / jnp.maximum(chain_scale, 1e-12)
+    mature = lmap.nobs[m.idx] >= min_obs
+    good = (res.inliers & ok_m & mature
+            & (za_unit > 1e-6) & (za_unit < 500.0))
+    ratios, masks = [], []
+    for shift in (1, 3, 7):
+        d_map = jnp.linalg.norm(pts_lm - jnp.roll(pts_lm, shift, 0), axis=-1)
+        d_unit = jnp.linalg.norm(p_unit - jnp.roll(p_unit, shift, 0),
+                                 axis=-1)
+        ratios.append(d_map / jnp.maximum(d_unit, 1e-9))
+        masks.append(good & jnp.roll(good, shift, 0) & (d_unit > 1.0))
+    n_anchor = jnp.sum(good.astype(jnp.int32))
+    s_med = masked_median(jnp.concatenate(ratios),
+                          jnp.concatenate(masks))
     pnp_geom = res.ok & (res.num_inliers >= min_inliers)
-    ok = (pnp_geom & pair_ok & (n_anchor >= 8)
+    ok = (pnp_geom & pair_ok & (n_anchor >= min_anchor)
           & jnp.isfinite(s_med) & (s_med > 1e-9)
           & (s_med < 2.0 * prev_scale) & (s_med > prev_scale / 2.0))
     # damp the anchor: correct the chain scale TOWARD the map measurement
@@ -203,14 +210,21 @@ def localize_step(desc, valid, x, y, intr, depth_chain, pts_chain,
     # epoch.  A one-shot map would merely replay its creation pair's
     # coherent error (measured: PnP against unrefined landmarks cascades
     # — one weak-translation accept corrupts the chain, the next keyframe
-    # inserts corrupted landmarks, tracking diverges).  n_obs is capped so
-    # old landmarks keep adapting to slow map-scale evolution.
-    upd = inl & (depth > 1e-6)
+    # inserts corrupted landmarks, tracking diverges).  Refinement STOPS
+    # at maturity (nobs >= min_obs): any continued averaging — even at
+    # uncapped 1/(n+1) weights — keeps ingesting observations at the
+    # CURRENT accepted scale, so the anchor set itself slowly follows
+    # the very drift it is supposed to resist (measured: with capped
+    # weights the map tracked the chain at a ~17-frame time constant and
+    # s_med/scale pinned at 1.00; uncapped weights only stretched the
+    # time constant).  Frozen-at-maturity landmarks make the scale
+    # lineage generational: young landmarks average their creation
+    # noise, freeze, anchor the next generation.
+    upd = inl & (depth > 1e-6) & (lmap.nobs[m.idx] < min_obs)
     pts_cam = jnp.concatenate([xyn, jnp.ones_like(xyn[:, :1])], -1) \
         * depth[:, None]
     fresh_w = (pts_cam - t_new) @ r_new            # rows: R^T (x - t)
-    w_obs = 1.0 / (jnp.minimum(lmap.nobs[m.idx], 16).astype(jnp.float32)
-                   + 1.0)
+    w_obs = 1.0 / (lmap.nobs[m.idx].astype(jnp.float32) + 1.0)
     delta = (fresh_w - lmap.pos[m.idx]) * w_obs[:, None]
     pos = lmap.pos.at[m.idx].add(jnp.where(upd[:, None], delta, 0.0),
                                  mode="drop")
@@ -220,7 +234,8 @@ def localize_step(desc, valid, x, y, intr, depth_chain, pts_chain,
     packed = jnp.concatenate([
         r_new.reshape(-1), t_new,
         jnp.stack([s_new, res.num_inliers.astype(jnp.float32),
-                   ok.astype(jnp.float32)])])
+                   ok.astype(jnp.float32), s_med,
+                   n_anchor.astype(jnp.float32)])])
     return MapTrack(packed=packed, pose_r=r_new, pose_t=t_new,
                     rel_r=rel_r, rel_t=rel_t, scale=s_new,
                     depth=depth, pts=pts_b, inliers=inl, lmap=lmap2)

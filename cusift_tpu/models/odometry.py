@@ -339,6 +339,7 @@ class MonoVO:
                         content)
         map_mode = self.vo_cfg is not None and self.vo_cfg.map_anchor
         pnp_inl, pnp_ok = 0, False
+        map_s_med, map_n_anchor = float("nan"), 0
         if map_mode:
             # persistent-map tracking: PnP against the landmark map with
             # on-device pose selection (models/monomap.py); the chain pose
@@ -355,6 +356,8 @@ class MonoVO:
                 self._lmap, jnp.int32(self.n_kf),
                 jnp.int32(self.n_kf - self.vo_cfg.map_active_kf),
                 jnp.int32(self.vo_cfg.map_min_inliers),
+                jnp.int32(self.vo_cfg.map_min_obs),
+                jnp.int32(self.vo_cfg.map_min_anchor),
                 jnp.float32(self.vo_cfg.map_scale_gain),
                 self.match_cfg, self.ransac_cfg, sub2)
             self._lmap = mt.lmap
@@ -372,6 +375,7 @@ class MonoVO:
             t_new = packed[12:15].astype(np.float32)
             scale, pnp_inl, pnp_ok = (float(packed[15]), int(packed[16]),
                                       bool(packed[17] > 0.5))
+            map_s_med, map_n_anchor = float(packed[18]), int(packed[19])
             r_prev, t_prev = self.poses_r[-1], self.poses_t[-1]
             r_rel = r_new @ r_prev.T
             t_rel = t_new - r_rel @ t_prev
@@ -425,6 +429,7 @@ class MonoVO:
         stat = dict(inliers=int(n_inl), scale=float(scale),
                     scale_common=int(n_common), ok=bool(ok > 0.5),
                     pnp_inliers=pnp_inl, pnp_ok=pnp_ok,
+                    map_s_med=map_s_med, map_n_anchor=map_n_anchor,
                     keyframe=bool(self.vo_cfg is not None and self._kf_frame
                                   and self._kf_frame[-1]
                                   == len(self.poses_r) - 1),

@@ -64,6 +64,9 @@ def main():
                          "(models/monomap.py) instead of the pair chain")
     ap.add_argument("--map-active-kf", type=int, default=6)
     ap.add_argument("--map-min-inliers", type=int, default=20)
+    ap.add_argument("--map-min-obs", type=int, default=4)
+    ap.add_argument("--map-min-anchor", type=int, default=24)
+    ap.add_argument("--map-gain", type=float, default=0.4)
     args = ap.parse_args()
 
     seq = two_plane_sequence(n_frames=300, h=240, w=320, seed=3,
@@ -73,7 +76,10 @@ def main():
                       loop_min_common=8, map_anchor=args.map_anchor,
                       map_size=4096, map_insert_budget=256,
                       map_active_kf=args.map_active_kf,
-                      map_min_inliers=args.map_min_inliers)
+                      map_min_inliers=args.map_min_inliers,
+                      map_min_obs=args.map_min_obs,
+                      map_min_anchor=args.map_min_anchor,
+                      map_scale_gain=args.map_gain)
     vo = MonoVO(seq.intr, sift_cfg=SIFT, vo_cfg=vo_cfg,
                 ba_window=args.ba_window, ba_every=args.ba_every)
     er, et = vo.run(iter(seq.images))
@@ -126,6 +132,17 @@ def main():
     if getattr(vo, "_corr", None) is not None:
         cs = vo._corr[2][:vo.n_kf]
         print("sim3 node scales:", " ".join(f"{v:.3f}" for v in cs[::4]))
+    if args.map_anchor:
+        # anchor observables: how often the map fired and which way the
+        # anchored median pulled relative to the pair chain's estimate
+        pulls = [(i, s["map_s_med"] / max(s["scale"], 1e-12),
+                  s["map_n_anchor"], s["pnp_ok"])
+                 for i, s in enumerate(vo.stats)]
+        fired = sum(1 for _, _, _, okk in pulls if okk)
+        print(f"anchor fired {fired}/{len(pulls)} frames")
+        print("s_med/scale (every 5th):",
+              " ".join(f"{i}:{r:.2f}({n})" for i, r, n, okk in pulls[::5]
+                       if np.isfinite(r)))
 
 
 if __name__ == "__main__":

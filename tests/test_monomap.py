@@ -68,7 +68,8 @@ def test_insert_then_localize_roundtrip():
         jnp.float32(0.3), jnp.float32(0.3),
         jnp.eye(3), jnp.zeros(3), jnp.eye(3), jnp.zeros(3),
         lmap, jnp.int32(1), jnp.int32(-5), jnp.int32(10),
-        jnp.float32(0.4), MatchConfig(), RansacConfig(num_hypotheses=256),
+        jnp.int32(2), jnp.int32(8), jnp.float32(0.4),
+        MatchConfig(), RansacConfig(num_hypotheses=256),
         jax.random.PRNGKey(0))
     packed = np.asarray(mt.packed)
     assert packed[14] > 0.5, "PnP must accept"
@@ -104,9 +105,13 @@ def test_mono_vo_map_anchor_tracks_sequence():
     """End-to-end: map-anchored MonoVO localises with PnP and stays tight."""
     seq = two_plane_sequence(n_frames=14, h=240, w=320, seed=3,
                              near=3.0, far=6.0, motion_scale=0.6)
+    # engagement-friendly maturity gates: this test exercises the
+    # MACHINERY (PnP takeover, depth re-anchoring) on a short run; the
+    # conservative production defaults need longer landmark histories
     vo_cfg = VOConfig(max_keyframes=32, kf_every=2, map_anchor=True,
                       map_size=2048, map_active_kf=8, map_insert_budget=256,
-                      map_min_inliers=15, loop_temporal_gap=1000)
+                      map_min_inliers=15, map_min_obs=2, map_min_anchor=8,
+                      loop_temporal_gap=1000)
     vo = MonoVO(seq.intr, sift_cfg=SIFT,
                 ransac_cfg=RansacConfig(inlier_thresh_epi=4e-3),
                 vo_cfg=vo_cfg)

@@ -82,6 +82,15 @@ class SiftConfig:
     # "auto" (currently XLA — its fused conv chain is already near
     # memory-bound on v5e), "pallas", or "xla"
     fused_pyramid: str = "auto"
+    # separable-convolution backend for the pyramid blurs: "auto" (MXU
+    # banded matmuls on TPU, VPU shifted adds elsewhere), "mxu", "mxu2"
+    # (window stacking directly in output layout — no post-einsum
+    # relayout), or "vpu"
+    conv_backend: str = "auto"
+    # octave level construction: "chain" (incremental blurs, the
+    # reference LaplaceMulti structure) or "direct" (all levels from the
+    # octave base in 2 batched einsums with cumulative-sigma taps)
+    pyramid_impl: str = "chain"
     # extremum-score arithmetic dtype: "f32" or "bf16".  The dense score
     # stage (3x3x3 window max/min + |DoG| ranking) is HBM-bound at ~11% of
     # light; bf16 halves its bytes.  Scores only RANK candidates into the

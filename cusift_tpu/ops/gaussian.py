@@ -129,19 +129,68 @@ def _conv1d_mxu(img: jnp.ndarray, taps: np.ndarray, axis: int,
     return out[tuple(sl)]
 
 
+def _conv1d_mxu2(img: jnp.ndarray, taps: np.ndarray, axis: int,
+                 block: int = 128) -> jnp.ndarray:
+    """`_conv1d_mxu` with output-layout window stacking.
+
+    The v1 form stacks windows on a LEADING axis and `moveaxis`es the
+    einsum result back — a relayout XLA must materialise.  Here windows
+    stack directly at the output position so the einsum result reshapes
+    into place with no transpose.  Numerics identical (same banded
+    operator, same precision).
+    """
+    r = (taps.shape[0] - 1) // 2
+    ax = axis % img.ndim
+    n = img.shape[ax]
+    nb = -(-n // block)
+    x = _reflect_pad(img, r, ax)
+    if nb * block != n:
+        pad = [(0, 0)] * img.ndim
+        pad[ax] = (0, nb * block - n)
+        x = jnp.pad(x, pad)
+    t = jnp.asarray(_band_matrix(taps, block))                 # [win, B]
+    win = block + 2 * r
+    sl_all = [slice(None)] * img.ndim
+    windows = []
+    for b in range(nb):
+        sl = list(sl_all)
+        sl[ax] = slice(b * block, b * block + win)
+        windows.append(x[tuple(sl)])
+    if ax == img.ndim - 1:
+        wst = jnp.stack(windows, axis=img.ndim - 1)            # [..., nb, win]
+        out = jnp.einsum("...nk,kc->...nc", wst, t,
+                         precision=jax.lax.Precision.HIGH,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(out.shape[:-2] + (nb * block,))
+    else:
+        assert ax == img.ndim - 2
+        wst = jnp.stack(windows, axis=img.ndim - 2)            # [..., nb, win, W]
+        out = jnp.einsum("...nkw,kc->...ncw", wst, t,
+                         precision=jax.lax.Precision.HIGH,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(out.shape[:-3] + (nb * block,) + out.shape[-1:])
+    sl = list(sl_all)
+    sl[ax] = slice(0, n)
+    return out[tuple(sl)]
+
+
+_CONVS = {"vpu": _conv1d, "mxu": _conv1d_mxu, "mxu2": _conv1d_mxu2}
+
+
 def blur(img: jnp.ndarray, sigma: float, radius: int | None = None,
          backend: str = "auto") -> jnp.ndarray:
     """Separable Gaussian blur of a [..., H, W] image; sigma is static.
 
     backend: "auto" (MXU banded matmuls on TPU, VPU shifted adds
-    elsewhere), "mxu", or "vpu".
+    elsewhere), "mxu", "mxu2" (window stacking in output layout), or
+    "vpu".
     """
     if float(sigma) <= 0.0:
         return img
     taps = gaussian_taps(sigma, radius)
     if backend == "auto":
         backend = "mxu" if jax.default_backend() == "tpu" else "vpu"
-    conv = _conv1d_mxu if backend == "mxu" else _conv1d
+    conv = _CONVS[backend]
     return conv(conv(img, taps, axis=-2), taps, axis=-1)
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import SiftConfig
 from .gaussian import blur, downsample2, upsample2
@@ -38,16 +39,87 @@ def initial_level(img: jnp.ndarray, cfg: SiftConfig) -> jnp.ndarray:
         base = img
         assumed = cfg.init_blur
     delta = max(cfg.sigma0 ** 2 - assumed ** 2, 0.01) ** 0.5
-    return blur(base, delta)
+    return blur(base, delta, backend=cfg.conv_backend)
 
 
 def octave_levels(base: jnp.ndarray, cfg: SiftConfig) -> list[jnp.ndarray]:
-    """All S+3 blur levels of one octave from its sigma0 base (incremental
-    chain; reference LaplaceMulti's blur half, SURVEY.md C7)."""
+    """All S+3 blur levels of one octave from its sigma0 base.
+
+    `cfg.pyramid_impl` selects the build: "chain" (incremental blurs,
+    the reference LaplaceMulti structure, SURVEY.md C7) or "direct"
+    (every level straight from the base with cumulative-sigma taps —
+    2 batched einsums per octave instead of 2(S+2), trading ~2x FLOPs
+    for far fewer kernel launches/relayouts; Gaussians compose exactly,
+    so numerics agree to f32 roundoff).
+    """
+    if cfg.pyramid_impl == "direct":
+        return octave_levels_direct(base, cfg)
     levels = [base]
     for s in cfg.incremental_sigmas():
-        levels.append(blur(levels[-1], s))
+        levels.append(blur(levels[-1], s, backend=cfg.conv_backend))
     return levels
+
+
+def octave_levels_direct(base: jnp.ndarray, cfg: SiftConfig,
+                         block: int = 128) -> list[jnp.ndarray]:
+    """All S+2 non-base levels straight from the base in ONE batched pass.
+
+    The level axis rides the einsum batch dimension: one rows-pass and
+    one cols-pass per octave, each contracting against a [L, win, B]
+    stack of banded operators (cumulative sigmas, shared max radius).
+    """
+    import jax
+    import math
+
+    from .gaussian import _band_matrix, _reflect_pad, gaussian_taps
+
+    sigmas = []
+    acc = 0.0
+    for s in cfg.incremental_sigmas():
+        acc = math.sqrt(acc * acc + s * s)
+        sigmas.append(acc)
+    rmax = max(1, int(math.ceil(4.0 * sigmas[-1])))
+    tmats = jnp.asarray(
+        np.stack([_band_matrix(gaussian_taps(s, rmax), block)
+                  for s in sigmas]))                       # [L, win, B]
+
+    def pass_(x, axis, batched_in):
+        ax = axis % x.ndim
+        n = x.shape[ax]
+        nb = -(-n // block)
+        xp = _reflect_pad(x, rmax, ax)
+        if nb * block != n:
+            pad = [(0, 0)] * x.ndim
+            pad[ax] = (0, nb * block - n)
+            xp = jnp.pad(xp, pad)
+        win = block + 2 * rmax
+        sl_all = [slice(None)] * x.ndim
+        windows = []
+        for b in range(nb):
+            sl = list(sl_all)
+            sl[ax] = slice(b * block, b * block + win)
+            windows.append(xp[tuple(sl)])
+        if ax == x.ndim - 1:
+            wst = jnp.stack(windows, axis=x.ndim - 1)      # [(l,)..., nb, win]
+            eq = "l...nk,lkc->l...nc" if batched_in else "...nk,lkc->l...nc"
+            out = jnp.einsum(eq, wst, tmats,
+                             precision=jax.lax.Precision.HIGH,
+                             preferred_element_type=jnp.float32)
+            out = out.reshape(out.shape[:-2] + (nb * block,))
+        else:
+            wst = jnp.stack(windows, axis=x.ndim - 2)      # [(l,)..., nb, win, W]
+            eq = "l...nkw,lkc->l...ncw" if batched_in else "...nkw,lkc->l...ncw"
+            out = jnp.einsum(eq, wst, tmats,
+                             precision=jax.lax.Precision.HIGH,
+                             preferred_element_type=jnp.float32)
+            out = out.reshape(out.shape[:-3] + (nb * block,)
+                              + out.shape[-1:])
+        sl = [slice(None)] * out.ndim
+        sl[ax + (0 if batched_in else 1)] = slice(0, n)
+        return out[tuple(sl)]
+
+    blurred = pass_(pass_(base, -2, False), -1, True)      # [L, H, W]
+    return [base] + [blurred[i] for i in range(len(sigmas))]
 
 
 def build_pyramid(img: jnp.ndarray, cfg: SiftConfig) -> list[Octave]:

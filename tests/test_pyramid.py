@@ -64,3 +64,42 @@ def test_blur_mxu_matches_vpu(rng):
             a = np.asarray(blur(x, sigma, backend="vpu"))
             b = np.asarray(blur(x, sigma, backend="mxu"))
             np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_blur_mxu2_matches_vpu(rng):
+    """Output-layout window stacking (mxu2) == the shifted-add form."""
+    for shape in ((96, 160), (2, 120, 130), (41, 257)):
+        x = np.asarray(rng.random(shape), np.float32)
+        for sigma in (1.1, 3.6):
+            a = np.asarray(blur(x, sigma, backend="vpu"))
+            b = np.asarray(blur(x, sigma, backend="mxu2"))
+            np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_octave_levels_direct_matches_chain(rng):
+    """Direct-from-base levels == incremental chain (Gaussians compose).
+
+    The direct build uses cumulative-sigma taps at a shared max radius;
+    the chain accumulates blur by repeated convolution.  They agree to
+    the tap-truncation tolerance of the cv2 radius rule (radius
+    4*sigma), which is the same tolerance the cv2 parity test accepts.
+    """
+    from cusift_tpu.config import replace
+    from cusift_tpu.ops.pyramid import octave_levels, octave_levels_direct
+
+    cfg = SiftConfig(num_octaves=1)
+    base = np.asarray(rng.random((120, 160)), np.float32)
+    chain = octave_levels(base, cfg)
+    direct = octave_levels_direct(base, cfg)
+    assert len(chain) == len(direct)
+    for a, b in zip(chain, direct):
+        assert np.max(np.abs(np.asarray(a) - np.asarray(b))) < 2e-3
+
+    # and the full extractor agrees end-to-end on keypoint geometry
+    from cusift_tpu.models.sift import extract
+    img = np.asarray(rng.random((120, 160)), np.float32)
+    small = SiftConfig(max_kpts=256, max_kpts_per_octave=128, num_octaves=3)
+    fa = extract(img, small)
+    fb = extract(img, replace(small, pyramid_impl="direct"))
+    na, nb = int(fa.count), int(fb.count)
+    assert abs(na - nb) <= max(2, 0.05 * na)

@@ -36,6 +36,14 @@ def main():
                          "needs at least two frames)")
     ap.add_argument("--no-upscale", action="store_true",
                     help="skip the 2x first octave (cv2/CudaSift extract it)")
+    ap.add_argument("--score-dtype", default="f32", choices=("f32", "bf16"),
+                    help="extremum-score arithmetic (config.py score_dtype)")
+    ap.add_argument("--conv-backend", default="auto",
+                    choices=("auto", "mxu", "mxu2", "vpu"),
+                    help="pyramid separable-conv backend")
+    ap.add_argument("--pyramid-impl", default="chain",
+                    choices=("chain", "direct"),
+                    help="octave level construction")
     ap.add_argument("--profile", action="store_true",
                     help="capture a jax.profiler trace into ./trace")
     args = ap.parse_args()
@@ -69,18 +77,21 @@ def main():
     # match (~2.0 ms/frame) are budget-independent, so throughput is
     # K / (2.0 ms + ~0.95 us * K) and climbs with K until the scene's
     # valid yield plateaus (docs/kernels.md "Fixed vs per-slot split").
+    variant = dict(score_dtype=args.score_dtype,
+                   conv_backend=args.conv_backend,
+                   pyramid_impl=args.pyramid_impl)
     if args.max_kpts == 5120:
         sift_cfg = SiftConfig(max_kpts=5120, max_kpts_per_octave=2560,
                               octave_budgets=(2560, 1280, 320, 96, 32),
-                              upscale=not args.no_upscale)
+                              upscale=not args.no_upscale, **variant)
     elif args.max_kpts == 4096:
         sift_cfg = SiftConfig(max_kpts=4096, max_kpts_per_octave=2048,
                               octave_budgets=(2048, 1024, 256, 96, 32),
-                              upscale=not args.no_upscale)
+                              upscale=not args.no_upscale, **variant)
     else:
         sift_cfg = SiftConfig(max_kpts=args.max_kpts,
                               max_kpts_per_octave=args.max_kpts // 2,
-                              upscale=not args.no_upscale)
+                              upscale=not args.no_upscale, **variant)
     match_cfg = MatchConfig()
 
     @jax.jit

@@ -44,6 +44,11 @@ def main():
     ap.add_argument("--pyramid-impl", default="chain",
                     choices=("chain", "direct"),
                     help="octave level construction")
+    ap.add_argument("--fused-pyramid", default="auto",
+                    choices=("auto", "xla", "pallas", "pallas_hbm"),
+                    help="fused octave kernel variant (config.py)")
+    ap.add_argument("--fused-tile-rows", type=int, default=96,
+                    help="row tile for fused-pyramid=pallas_hbm")
     ap.add_argument("--profile", action="store_true",
                     help="capture a jax.profiler trace into ./trace")
     args = ap.parse_args()
@@ -79,7 +84,9 @@ def main():
     # valid yield plateaus (docs/kernels.md "Fixed vs per-slot split").
     variant = dict(score_dtype=args.score_dtype,
                    conv_backend=args.conv_backend,
-                   pyramid_impl=args.pyramid_impl)
+                   pyramid_impl=args.pyramid_impl,
+                   fused_pyramid=args.fused_pyramid,
+                   fused_tile_rows=args.fused_tile_rows)
     if args.max_kpts == 5120:
         sift_cfg = SiftConfig(max_kpts=5120, max_kpts_per_octave=2560,
                               octave_budgets=(2560, 1280, 320, 96, 32),

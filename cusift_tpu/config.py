@@ -80,8 +80,13 @@ class SiftConfig:
     sampler: str = "auto"
     # fused octave kernel (blur+DoG+extrema score in one Pallas pass):
     # "auto" (currently XLA — its fused conv chain is already near
-    # memory-bound on v5e), "pallas", or "xla"
+    # memory-bound on v5e), "pallas" (pipelined outputs, tile capped at
+    # 48 rows by VMEM), "pallas_hbm" (manual output DMA — frees the
+    # runtime's double-buffered output blocks so the row tile can grow
+    # to fused_tile_rows and per-instruction issue overhead amortises),
+    # or "xla"
     fused_pyramid: str = "auto"
+    fused_tile_rows: int = 96           # pallas_hbm row tile (mult of 8)
     # separable-convolution backend for the pyramid blurs: "auto" (MXU
     # banded matmuls on TPU, VPU shifted adds elsewhere), "mxu", "mxu2"
     # (window stacking directly in output layout — no post-einsum

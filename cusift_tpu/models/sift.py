@@ -98,9 +98,13 @@ def _octave_planes(img: jnp.ndarray, cfg: SiftConfig):
     out = []
     for _ in range(n_oct):
         h, w = base.shape
-        if fused == "pallas" and min(h, w) >= 64 and base.ndim == 2:
+        if (fused in ("pallas", "pallas_hbm") and min(h, w) >= 64
+                and base.ndim == 2):
             from ..ops.pallas.octave import fused_octave
-            samp, dog, score = fused_octave(base, cfg, h, w)
+            hbm = fused == "pallas_hbm"
+            samp, dog, score = fused_octave(
+                base, cfg, h, w,
+                tr=cfg.fused_tile_rows if hbm else 48, hbm_out=hbm)
         else:
             levels = octave_levels(base, cfg)
             gauss = jnp.stack(levels)

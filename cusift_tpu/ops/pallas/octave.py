@@ -39,7 +39,7 @@ from ..gaussian import gaussian_taps
 _TR = 48  # output rows per grid step
 
 
-def _plan(cfg, h: int, w: int):
+def _plan(cfg, h: int, w: int, tr: int = _TR):
     """Static geometry: taps per level, paddings, tile counts."""
     sig = cfg.sigmas()                      # absolute blur per level
     taps = []
@@ -52,12 +52,18 @@ def _plan(cfg, h: int, w: int):
                                              # tile height stays a mult of 8
     wv = max((w + 127) // 128 * 128, 128)    # output plane width
     wp = (wv + 2 * rp + 2 + 127) // 128 * 128
-    n_tiles = (h + _TR - 1) // _TR
+    n_tiles = (h + tr - 1) // tr
     return taps, rp, wv, wp, n_tiles
 
 
-def _kernel(base_ref, samp_ref, dog_ref, score_ref, tile, acc, levs, sem,
-            *, taps, rp, tr, h, w, wv, s, prefilter):
+def _compute(samp_dst, dog_dst, score_dst, base_ref, tile, acc, levs, sem,
+             *, taps, rp, tr, h, w, wv, s, prefilter):
+    """Shared tile body: blur levels, DoG, extrema score for one row tile.
+
+    ``*_dst`` are [planes, tr, wv] refs — either the pipeline's VMEM output
+    blocks (``_kernel``) or manually-DMA'd scratch buffers (``_kernel_hbm``);
+    both index identically.
+    """
     i = pl.program_id(0)
 
     cp = pltpu.make_async_copy(
@@ -109,9 +115,9 @@ def _kernel(base_ref, samp_ref, dog_ref, score_ref, tile, acc, levs, sem,
 
     # outputs: sampler levels 1..s and all DoG planes
     for j in range(1, s + 1):
-        samp_ref[j - 1] = levs[j, 1:hv2 - 1, 1:wv2 - 1]
+        samp_dst[j - 1] = levs[j, 1:hv2 - 1, 1:wv2 - 1]
     for k in range(s + 2):
-        dog_ref[k] = (levs[k + 1, 1:hv2 - 1, 1:wv2 - 1]
+        dog_dst[k] = (levs[k + 1, 1:hv2 - 1, 1:wv2 - 1]
                       - levs[k, 1:hv2 - 1, 1:wv2 - 1])
 
     # strict 26-neighbour extrema score for DoG levels 1..s
@@ -134,28 +140,65 @@ def _kernel(base_ref, samp_ref, dog_ref, score_ref, tile, acc, levs, sem,
         is_max = (c >= wmax) & (c > prefilter)
         is_min = (c <= wmin) & (c < -prefilter)
         ok = (is_max | is_min) & interior
-        score_ref[j - 1] = jnp.where(ok, jnp.abs(c), -jnp.inf)
+        score_dst[j - 1] = jnp.where(ok, jnp.abs(c), -jnp.inf)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "h", "w", "interpret"))
+def _kernel(base_ref, samp_ref, dog_ref, score_ref, tile, acc, levs, sem,
+            **kw):
+    """Pipelined form: outputs ride the pallas pipeline's VMEM blocks
+    (double-buffered by the runtime — the 11 planes cap the tile at
+    ~48 rows before VMEM overflows)."""
+    _compute(samp_ref, dog_ref, score_ref, base_ref, tile, acc, levs, sem,
+             **kw)
+
+
+def _kernel_hbm(base_ref, samp_ref, dog_ref, score_ref, tile, acc, levs,
+                obuf_s, obuf_d, obuf_c, sem, sem_out, **kw):
+    """Manual-output form: outputs live in HBM and each tile's planes are
+    DMA'd out explicitly from single-buffered VMEM scratch.  Dropping the
+    runtime's double-buffered output blocks frees ~half the VMEM budget,
+    so the row tile can grow to 96-128 and the ~500 small VPU ops per
+    tile amortise over 2-2.7x the data (the measured residual of the
+    pipelined form vs the XLA chain — docs/kernels.md).  The out-DMA is
+    ~7 us/tile against 100s of us of compute, so issuing it eagerly and
+    waiting in-line costs ~nothing.
+    """
+    _compute(obuf_s, obuf_d, obuf_c, base_ref, tile, acc, levs, sem, **kw)
+    i = pl.program_id(0)
+    tr = kw["tr"]
+    row = pl.ds(pl.multiple_of(i * tr, 8), tr)
+    for buf, ref in ((obuf_s, samp_ref), (obuf_d, dog_ref),
+                     (obuf_c, score_ref)):
+        cp = pltpu.make_async_copy(buf, ref.at[:, row, :], sem_out)
+        cp.start()
+        cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "h", "w", "interpret",
+                                             "tr", "hbm_out"))
 def fused_octave(base: jnp.ndarray, cfg, h: int, w: int,
-                 interpret: bool = False):
+                 interpret: bool = False, tr: int = _TR,
+                 hbm_out: bool = False):
     """One octave from its base level [H, W] (already at sigma0).
 
     Returns (sample_levels [S, H, W], dog [S+2, H, W], score [S, H, W])
     where score holds |DoG| at strict interior 26-neighbour extrema that
     clear the contrast prefilter, and -inf elsewhere.
+
+    ``tr`` is the output rows per grid step; ``hbm_out`` selects the
+    manual-output-DMA kernel (the only way to run tr > 48 within VMEM).
     """
     s = cfg.scales_per_octave
     prefilter = 0.5 * cfg.contrast_thresh / s
-    taps, rp, wv, wp, n_tiles = _plan(cfg, h, w)
-    hp = n_tiles * _TR + 2 * rp
+    assert tr % 8 == 0, tr
+    taps, rp, wv, wp, n_tiles = _plan(cfg, h, w, tr)
+    hp = n_tiles * tr + 2 * rp
     # Index-math bounds (SURVEY.md §5.2): all kernel slices are static, so
     # the guards are trace-time asserts rather than checkify.  The last
     # tile's DMA reads rows [(n_tiles-1)*TR, (n_tiles-1)*TR + TR + 2rp)
     # and the widest x-conv reads cols up to rp - 1 + rmax + wv + 2.
     rmax = max((t.shape[0] - 1) // 2 for t in taps)
-    assert (n_tiles - 1) * _TR + _TR + 2 * rp <= hp
+    assert (n_tiles - 1) * tr + tr + 2 * rp <= hp
     assert rp - 1 + rmax + wv + 2 <= wp, (rp, rmax, wv, wp)
     assert rp >= rmax + 1, (rp, rmax)   # DoG halo for the extrema stencil
 
@@ -165,34 +208,49 @@ def fused_octave(base: jnp.ndarray, cfg, h: int, w: int,
     pad_r = jnp.pad(base, ((rp, rp), (rp, rp)), mode="reflect")
     pad_r = jnp.pad(pad_r, ((0, hp - h - 2 * rp), (0, wp - w - 2 * rp)))
 
+    scratch = [
+        pltpu.VMEM((tr + 2 * rp, wp), jnp.float32),
+        pltpu.VMEM((tr + 2, wp), jnp.float32),
+        pltpu.VMEM((cfg.levels_per_octave, tr + 2,
+                    (wv + 2 + 127) // 128 * 128), jnp.float32),
+    ]
+    if hbm_out:
+        kernel = _kernel_hbm
+        out_specs = [pl.BlockSpec(memory_space=pltpu.HBM)] * 3
+        scratch += [
+            pltpu.VMEM((s, tr, wv), jnp.float32),
+            pltpu.VMEM((s + 2, tr, wv), jnp.float32),
+            pltpu.VMEM((s, tr, wv), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ]
+    else:
+        kernel = _kernel
+        out_specs = [
+            pl.BlockSpec((s, tr, wv), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s + 2, tr, wv), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, tr, wv), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        scratch += [pltpu.SemaphoreType.DMA(())]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=[
-            pl.BlockSpec((s, _TR, wv), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((s + 2, _TR, wv), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, _TR, wv), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((_TR + 2 * rp, wp), jnp.float32),
-            pltpu.VMEM((_TR + 2, wp), jnp.float32),
-            pltpu.VMEM((cfg.levels_per_octave, _TR + 2,
-                        (wv + 2 + 127) // 128 * 128), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
     samp, dog, score = pl.pallas_call(
-        functools.partial(_kernel, taps=taps, rp=rp, tr=_TR, h=h, w=w,
+        functools.partial(kernel, taps=taps, rp=rp, tr=tr, h=h, w=w,
                           wv=wv, s=s, prefilter=prefilter),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((s, n_tiles * _TR, wv), jnp.float32),
-            jax.ShapeDtypeStruct((s + 2, n_tiles * _TR, wv), jnp.float32),
-            jax.ShapeDtypeStruct((s, n_tiles * _TR, wv), jnp.float32),
+            jax.ShapeDtypeStruct((s, n_tiles * tr, wv), jnp.float32),
+            jax.ShapeDtypeStruct((s + 2, n_tiles * tr, wv), jnp.float32),
+            jax.ShapeDtypeStruct((s, n_tiles * tr, wv), jnp.float32),
         ],
         interpret=interpret,
     )(pad_r)

@@ -27,7 +27,7 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--size", type=int, nargs=2, default=(480, 640))
-    ap.add_argument("--variants", default="A,B,C,D,A2,B2")
+    ap.add_argument("--variants", default="A,B,C,D,A2,B2,A3,E,F,G")
     args = ap.parse_args()
 
     import jax
@@ -173,8 +173,12 @@ def main():
             return acc
         return fn
 
-    def pyr_score(one_levels, score_dtype):
+    def pyr_score(one_levels, score_dtype, consume_all=False):
+        """consume_all sums samp+dog too — the fair baseline for the fused
+        kernel variants, which must write all three outputs to HBM
+        (XLA may elide samp/dog stores when only score is consumed)."""
         def fn(img):
+            s_ = cfg.scales_per_octave
             n_oct = cfg.num_octaves_for(*img.shape)
             base = initial_level(img, cfg)
             acc = 0.0
@@ -187,7 +191,38 @@ def main():
                 score = extrema_score(dog.astype(score_dtype), cfg)
                 acc += jnp.sum(jnp.where(jnp.isfinite(score), score,
                                          0.0).astype(jnp.float32))
-                base = gauss[cfg.scales_per_octave][::2, ::2]
+                if consume_all:
+                    acc += jnp.sum(gauss[1:s_ + 1]) + jnp.sum(dog)
+                base = gauss[s_][::2, ::2]
+            return acc
+        return fn
+
+    def pyr_fused(tr, hbm):
+        """Pyramid + score through the fused Pallas octave kernel
+        (E: pipelined outputs at tr=48; F/G: manual HBM output DMA at
+        tr=96/128 — the VMEM headroom freed by dropping double-buffered
+        output blocks, docs/kernels.md).  Mirrors production's small-
+        octave fallback (models/sift.py min(h,w)>=64)."""
+        from cusift_tpu.ops.pallas.octave import fused_octave
+
+        def fn(img):
+            s_ = cfg.scales_per_octave
+            n_oct = cfg.num_octaves_for(*img.shape)
+            base = initial_level(img, cfg)
+            acc = 0.0
+            for _ in range(n_oct):
+                hh, ww = base.shape
+                if min(hh, ww) >= 64:
+                    samp, dog, score = fused_octave(base, cfg, hh, ww,
+                                                    tr=tr, hbm_out=hbm)
+                else:
+                    gauss = jnp.stack(octave_levels(base, cfg))
+                    dog = gauss[1:] - gauss[:-1]
+                    samp = gauss[1:s_ + 1]
+                    score = extrema_score(dog, cfg)
+                acc += (jnp.sum(samp) + jnp.sum(dog)
+                        + jnp.sum(jnp.where(jnp.isfinite(score), score, 0.0)))
+                base = samp[s_ - 1][::2, ::2]
             return acc
         return fn
 
@@ -198,6 +233,10 @@ def main():
         "A2": pyr_score(octave_levels, jnp.float32),
         "B2": pyr_score(octave_levels_v2, jnp.float32),
         "D": pyr_score(octave_levels, jnp.bfloat16),
+        "A3": pyr_score(octave_levels, jnp.float32, consume_all=True),
+        "E": pyr_fused(48, False),
+        "F": pyr_fused(96, True),
+        "G": pyr_fused(128, True),
     }
 
     def timed(fn, x):
@@ -226,7 +265,13 @@ def main():
     import jax
     for name in args.variants.split(","):
         fn = jax.jit(lambda ims, f=variants[name]: jnp.sum(jax.vmap(f)(ims)))
-        dt, cs = timed(fn, imgs)
+        try:
+            dt, cs = timed(fn, imgs)
+        except Exception as e:  # e.g. VMEM overflow at tr=128 — keep going
+            print(json.dumps({"variant": name,
+                              "error": f"{type(e).__name__}: {e}"[:300]}),
+                  flush=True)
+            continue
         print(json.dumps({"variant": name,
                           "ms_total": round(dt * 1e3, 2),
                           "ms_per_frame": round(dt / bsz * 1e3, 3),

@@ -21,3 +21,6 @@ python bench.py --iters 40 --conv-backend mxu2
 python bench.py --iters 40 --pyramid-impl direct
 python bench.py --iters 40 --score-dtype bf16 --conv-backend mxu2 \
     --pyramid-impl direct
+# fused octave kernel, manual-HBM-output form (probe variants F/G decide
+# the tile; 96 is the VMEM-safe default)
+python bench.py --iters 40 --fused-pyramid pallas_hbm --fused-tile-rows 96

@@ -98,6 +98,25 @@ def test_fused_octave_matches_xla(rng, test_image):
     np.testing.assert_allclose(sm[m], sr[m], atol=2e-5)
 
 
+def test_fused_octave_hbm_matches_pipelined(rng, test_image):
+    """The manual-output-DMA variant (hbm_out=True, big row tile) must be
+    bit-identical to the pipelined kernel — same arithmetic, different
+    output path and tile height (96 vs 48 exercises a second halo split)."""
+    import jax.numpy as jnp
+    from cusift_tpu.config import SiftConfig
+    from cusift_tpu.ops.pyramid import initial_level
+    from cusift_tpu.ops.pallas.octave import fused_octave
+
+    cfg = SiftConfig()
+    base = initial_level(jnp.asarray(test_image), cfg)
+    h, w = base.shape
+    ref = fused_octave(base, cfg, h, w, interpret=True)
+    out = fused_octave(base, cfg, h, w, interpret=True, tr=96, hbm_out=True)
+    for a, b, name in zip(out, ref, ("samp", "dog", "score")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+
+
 def test_checkify_bounds_clean(rng):
     """SURVEY.md §5.2: checkify-guarded index math passes on adversarial
     border keypoints (patch corners clipped against every image edge)."""

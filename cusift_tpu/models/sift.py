@@ -102,9 +102,12 @@ def _octave_planes(img: jnp.ndarray, cfg: SiftConfig):
                 and base.ndim == 2):
             from ..ops.pallas.octave import fused_octave
             hbm = fused == "pallas_hbm"
+            # off-TPU the Mosaic kernel runs in interpret mode so the
+            # wiring stays testable on the CPU suite
             samp, dog, score = fused_octave(
                 base, cfg, h, w,
-                tr=cfg.fused_tile_rows if hbm else 48, hbm_out=hbm)
+                tr=cfg.fused_tile_rows if hbm else 48, hbm_out=hbm,
+                interpret=jax.default_backend() != "tpu")
         else:
             levels = octave_levels(base, cfg)
             gauss = jnp.stack(levels)

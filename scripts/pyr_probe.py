@@ -204,6 +204,7 @@ def main():
         output blocks, docs/kernels.md).  Mirrors production's small-
         octave fallback (models/sift.py min(h,w)>=64)."""
         from cusift_tpu.ops.pallas.octave import fused_octave
+        interp = jax.default_backend() != "tpu"
 
         def fn(img):
             s_ = cfg.scales_per_octave
@@ -214,7 +215,8 @@ def main():
                 hh, ww = base.shape
                 if min(hh, ww) >= 64:
                     samp, dog, score = fused_octave(base, cfg, hh, ww,
-                                                    tr=tr, hbm_out=hbm)
+                                                    tr=tr, hbm_out=hbm,
+                                                    interpret=interp)
                 else:
                     gauss = jnp.stack(octave_levels(base, cfg))
                     dog = gauss[1:] - gauss[:-1]

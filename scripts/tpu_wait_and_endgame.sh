@@ -11,11 +11,20 @@ set -u
 export PYTHONPATH=/root/repo:/root/.axon_site
 cd /root/repo
 
+idle_now() {
+    # any python/pytest alive? (counting only — never kill by pattern)
+    [ "$(pgrep -c -f 'python|pytest' 2>/dev/null)" -le 0 ]
+}
+
 while true; do
-    # any OTHER python alive? (exclude this script's own children via $$ pgid)
-    busy=$(pgrep -x python | wc -l)
-    if [ "$busy" -gt 0 ]; then
+    if ! idle_now; then
         sleep 120
+        continue
+    fi
+    # require two consecutive idle reads 30 s apart so a gap between
+    # test processes can't start the batch into contention
+    sleep 30
+    if ! idle_now; then
         continue
     fi
     if timeout 60 python -c "import jax; assert jax.devices()" \

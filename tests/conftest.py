@@ -42,6 +42,23 @@ def pytest_configure(config):
         "deselect with -m 'not slow'")
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    One pytest process accumulates every module's XLA:CPU JIT code as
+    live mmap regions (~55 new maps/s measured); past ~140 tests the
+    process segfaults inside backend_compile (map-table exhaustion, two
+    reproductions 2026-08-17 both in the test_slam region).  Eviction
+    costs only cross-module compile reuse, which is near zero — modules
+    compile distinct configs.
+    """
+    yield
+    import gc
+    jax.clear_caches()
+    gc.collect()
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)

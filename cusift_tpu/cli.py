@@ -103,7 +103,8 @@ def cmd_slam(args):
                 sift_cfg=SiftConfig(max_kpts=args.max_kpts,
                                     max_kpts_per_octave=args.max_kpts // 2),
                 ransac_cfg=RansacConfig(inlier_thresh_3d=0.03),
-                slam_cfg=SlamConfig(checkpoint_every=args.checkpoint_every),
+                slam_cfg=SlamConfig(checkpoint_every=args.checkpoint_every,
+                                    local_ba_anchor=args.ba_anchor),
                 dist_ba=getattr(args, "dist", False))
     t0 = time.time()
 
@@ -213,6 +214,7 @@ def cmd_odo(args):
                                     max_kpts_per_octave=args.max_kpts // 2),
                 ransac_cfg=RansacConfig(),
                 ba_window=args.ba_window,
+                ba_anchor=args.ba_anchor,
                 pad_to_tier=args.tier_pad,
                 vo_cfg=vo_cfg, dist_ba=args.dist)
     t0 = time.time()
@@ -328,6 +330,10 @@ def main(argv=None):
     s.add_argument("--metrics", help="JSONL metrics output path")
     s.add_argument("--save", help="checkpoint output path")
     s.add_argument("--checkpoint-every", type=int, default=0)
+    s.add_argument("--ba-anchor", choices=("newest", "union"),
+                   default="newest",
+                   help="local-BA landmark anchoring scheme (union "
+                        "forces the single-device BA path)")
     s.add_argument("--dist", action="store_true",
                    help="shard the local-BA Schur solve over every "
                         "device's map axis (needs >1 devices)")
@@ -344,6 +350,10 @@ def main(argv=None):
     o.add_argument("--synthetic", type=int, help="use N synthetic frames")
     o.add_argument("--frames", type=int, default=0)
     o.add_argument("--max-kpts", type=int, default=1024)
+    o.add_argument("--ba-anchor", choices=("newest", "union"),
+                   default="newest",
+                   help="windowed-BA landmark anchoring scheme (union "
+                        "forces the single-device BA path)")
     o.add_argument("--ba-window", type=int, default=0,
                    help="bundle-adjust the last N frames as they stream "
                         "(0 = off)")

@@ -253,6 +253,14 @@ class SlamConfig:
     local_ba_window: int = 5
     local_ba_iters: int = 5             # LM iterations per insert
     local_ba_cg_iters: int = 15         # PCG iterations on the camera system
+    # landmark anchoring scheme (models/local_ba.py): "newest" anchors
+    # landmarks to the newest keyframe only (cheapest; VERDICT round-2
+    # weak #4); "union" deduplicates landmark candidates across the whole
+    # window through the match graph.  "union" forces the single-device
+    # BA path: the streaming distributed solver's static landmark-block
+    # sharding requires the newest-anchored [W, N] grid layout (landmark
+    # n owns column n), which the union's owner indirection breaks.
+    local_ba_anchor: str = "newest"
 
 
 @dataclass(frozen=True)

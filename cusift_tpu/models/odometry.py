@@ -242,6 +242,7 @@ class MonoVO:
                  match_cfg: MatchConfig = MatchConfig(),
                  ransac_cfg: RansacConfig = RansacConfig(),
                  ba_window: int = 0, ba_every: int = 2,
+                 ba_anchor: str = "newest",
                  pad_to_tier: bool = False,
                  vo_cfg: VOConfig | None = None,
                  pg_cfg: PoseGraphConfig = PoseGraphConfig(),
@@ -257,6 +258,9 @@ class MonoVO:
         self.ransac_cfg = ransac_cfg
         self.ba_window = ba_window       # frames; 0 disables windowed BA
         self.ba_every = max(1, ba_every)
+        # landmark anchoring: "newest" or "union" (models/local_ba.py;
+        # union forces the single-device path — see SlamConfig.local_ba_anchor)
+        self.ba_anchor = ba_anchor
         # distributed windowed BA (BASELINE configs[4]): shard the Schur
         # solve over every available device's "map" axis when asked; the
         # single-device path is the fallback on one chip
@@ -647,15 +651,17 @@ class MonoVO:
         t0 = jnp.asarray(np.stack([self.poses_t[i] for i in idxs]))
         ba_cfg = BAConfig(max_iters=4, cg_iters=12, num_fixed_poses=2,
                           huber_delta=4.0)
-        if self._ba_mesh is not None:
+        if self._ba_mesh is not None and self.ba_anchor == "newest":
             from ..parallel.dist_ba import window_ba_dist
             r, t, c0, c1 = window_ba_dist(
                 kd, kv, kp, r0, t0, self.intr, jnp.ones(w, jnp.float32),
                 self._ba_mesh, self.match_cfg, ba_cfg)
         else:
+            # union anchoring is single-device only (see
+            # SlamConfig.local_ba_anchor rationale in config.py)
             r, t, c0, c1 = window_ba(
                 kd, kv, kp, r0, t0, self.intr, jnp.ones(w, jnp.float32),
-                self.match_cfg, ba_cfg)
+                self.match_cfg, ba_cfg, anchor=self.ba_anchor)
         packed = np.array(jnp.concatenate([r.reshape(-1), t.reshape(-1)]))
         rs = packed[:w * 9].reshape(w, 3, 3)
         ts = packed[w * 9:].reshape(w, 3)

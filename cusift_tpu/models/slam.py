@@ -525,12 +525,18 @@ class Slam:
         args = (s.kf_desc[di], s.kf_valid[di], s.kf_pts[di],
                 jnp.asarray(s.kf_pose_r[idxs]), jnp.asarray(s.kf_pose_t[idxs]),
                 self.intr, jnp.ones(w, jnp.float32))
-        if self._ba_mesh is not None:
+        anchor = self.cfg.local_ba_anchor
+        if self._ba_mesh is not None and anchor == "newest":
             from ..parallel.dist_ba import window_ba_dist
             r, t, c0, c1 = window_ba_dist(*args, self._ba_mesh,
                                           self.match_cfg, ba_cfg)
         else:
-            r, t, c0, c1 = window_ba(*args, self.match_cfg, ba_cfg)
+            # "union" anchoring runs single-device even when a mesh
+            # exists: the streaming distributed solver's static
+            # landmark-colocated sharding needs the [W, N] grid layout
+            # (config.py:SlamConfig.local_ba_anchor)
+            r, t, c0, c1 = window_ba(*args, self.match_cfg, ba_cfg,
+                                     anchor=anchor)
         packed = np.array(jnp.concatenate(
             [r.reshape(-1), t.reshape(-1),
              jnp.stack([c0, c1])]))                  # the one fetch

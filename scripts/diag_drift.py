@@ -59,6 +59,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ba-window", type=int, default=0)
     ap.add_argument("--ba-every", type=int, default=2)
+    ap.add_argument("--ba-anchor", choices=("newest", "union"),
+                    default="newest",
+                    help="landmark anchoring scheme (VERDICT r2 task 6)")
     ap.add_argument("--map-anchor", action="store_true",
                     help="persistent-map PnP scale anchoring "
                          "(models/monomap.py) instead of the pair chain")
@@ -81,7 +84,8 @@ def main():
                       map_min_anchor=args.map_min_anchor,
                       map_scale_gain=args.map_gain)
     vo = MonoVO(seq.intr, sift_cfg=SIFT, vo_cfg=vo_cfg,
-                ba_window=args.ba_window, ba_every=args.ba_every)
+                ba_window=args.ba_window, ba_every=args.ba_every,
+                ba_anchor=args.ba_anchor)
     er, et = vo.run(iter(seq.images))
 
     path = trajectory_path_length(seq.poses_r, seq.poses_t)[-1]

@@ -24,3 +24,6 @@ python bench.py --iters 40 --score-dtype bf16 --conv-backend mxu2 \
 # fused octave kernel, manual-HBM-output form (probe variants F/G decide
 # the tile; 96 is the VMEM-safe default)
 python bench.py --iters 40 --fused-pyramid pallas_hbm --fused-tile-rows 96
+
+# window-BA anchoring ms delta (VERDICT r2 task 6): newest vs union
+python scripts/ba_anchor_probe.py --iters 30

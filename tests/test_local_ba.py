@@ -167,3 +167,44 @@ def test_window_ba_union_anchoring_recovers():
     assert outs["union"] < err_before * 0.75
     # measured: union 0.031 vs newest 0.014 on this scene
     assert outs["union"] < outs["newest"] * 2.5 + 1e-4, outs
+
+
+def test_anchor_knob_threads_to_window_ba(monkeypatch):
+    """`SlamConfig.local_ba_anchor` / `MonoVO(ba_anchor=...)` must reach
+    `window_ba(anchor=...)`, and "union" must force the single-device
+    path even when a mesh exists (the distributed solver's static
+    landmark-colocated sharding needs the newest-anchored grid)."""
+    import cusift_tpu.models.local_ba as local_ba_mod
+    import cusift_tpu.models.slam as slam_mod
+    from cusift_tpu.models.odometry import MonoVO
+
+    seen = []
+
+    def recorder(kd, kv, kp, r0, t0, intr, mask, *a, **kw):
+        seen.append(kw.get("anchor", "newest"))
+        z = jnp.float32(0.0)
+        return r0, t0, z, z
+
+    monkeypatch.setattr(local_ba_mod, "window_ba", recorder)
+    monkeypatch.setattr(slam_mod, "window_ba", recorder)
+
+    intr = np.array([100.0, 100.0, 80.0, 60.0], np.float32)
+
+    # SLAM path: fake a full window, call _local_ba directly
+    s = Slam(intr, sift_cfg=SIFT,
+             slam_cfg=SlamConfig(max_keyframes=8, local_ba_window=3,
+                                 local_ba_anchor="union"),
+             dist_ba=True)                   # union must ignore the mesh
+    s.state.n_kf = 3
+    s._local_ba()
+    assert seen == ["union"]
+
+    # MonoVO path: fake the BA ring, call _window_ba directly
+    n = 16
+    vo = MonoVO(intr, ba_window=3, ba_anchor="union", dist_ba=True)
+    vo._ring = [(jnp.zeros((n, 128)), jnp.zeros(n, bool),
+                 jnp.zeros((n, 3)))] * 3
+    vo.poses_r = [np.eye(3, dtype=np.float32)] * 3
+    vo.poses_t = [np.zeros(3, np.float32)] * 3
+    vo._window_ba()
+    assert seen == ["union", "union"]

@@ -15,12 +15,38 @@ so completion of the last implies all finished.
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 BASELINE_KPTS_PER_S = 8.0e5
+
+
+def _probe_backend(timeout_s: float = 180.0) -> None:
+    """Fail fast (instead of hanging forever) when the TPU tunnel is down.
+
+    Axon backend init blocks indefinitely while the tunnel is unreachable
+    (observed: 5+ h outage during round 3), and an in-process
+    ``jax.devices()`` cannot be interrupted.  Probe in a subprocess with a
+    hard timeout so a dead tunnel produces a clear non-zero exit, not a
+    hung benchmark run.
+    """
+    code = "import jax; assert jax.devices(); print(jax.devices()[0])"
+    try:
+        subprocess.run([sys.executable, "-c", code], check=True,
+                       timeout=timeout_s, env=os.environ.copy(),
+                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    except subprocess.TimeoutExpired:
+        print(f"bench.py: device backend init did not answer within "
+              f"{timeout_s:.0f}s — TPU tunnel down?", file=sys.stderr)
+        raise SystemExit(1)
+    except subprocess.CalledProcessError as e:
+        print(f"bench.py: device backend probe failed (exit {e.returncode})",
+              file=sys.stderr)
+        raise SystemExit(1)
 
 
 def main():
@@ -56,6 +82,7 @@ def main():
         ap.error("--batch must be 0 (pair step) or >= 2 (consecutive-pair "
                  "matching needs at least two frames)")
 
+    _probe_backend()
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -224,11 +224,26 @@ def localize_step(desc, valid, x, y, intr, depth_chain, pts_chain,
     pts_cam = jnp.concatenate([xyn, jnp.ones_like(xyn[:, :1])], -1) \
         * depth[:, None]
     fresh_w = (pts_cam - t_new) @ r_new            # rows: R^T (x - t)
-    w_obs = 1.0 / (lmap.nobs[m.idx].astype(jnp.float32) + 1.0)
-    delta = (fresh_w - lmap.pos[m.idx]) * w_obs[:, None]
-    pos = lmap.pos.at[m.idx].add(jnp.where(upd[:, None], delta, 0.0),
-                                 mode="drop")
-    nobs = lmap.nobs.at[m.idx].add(jnp.where(upd, 1, 0), mode="drop")
+    # The match is a per-query argmax (no cross check), so SEVERAL frame
+    # features can best-match the same landmark.  Their triangulations
+    # share this pair's coherent error, so the frame contributes ONE
+    # observation per landmark: segment-mean the duplicates first, then
+    # fold the mean at 1/(n+1).  Naive per-row scatter-add would both
+    # wipe the prior mean (k rows each add (f_i - old)/(n+1) computed
+    # from the SAME stale position) and inflate nobs by k, maturing —
+    # and freezing — the landmark on fewer independent pairs than
+    # `min_obs` demands.
+    cnt = jnp.zeros(lmap.pos.shape[0], jnp.float32).at[m.idx].add(
+        upd.astype(jnp.float32), mode="drop")
+    sum_f = jnp.zeros_like(lmap.pos).at[m.idx].add(
+        jnp.where(upd[:, None], fresh_w, 0.0), mode="drop")
+    has = cnt > 0.0
+    mean_f = sum_f / jnp.maximum(cnt, 1.0)[:, None]
+    w_obs = 1.0 / (lmap.nobs.astype(jnp.float32) + 1.0)
+    pos = jnp.where(has[:, None],
+                    lmap.pos + (mean_f - lmap.pos) * w_obs[:, None],
+                    lmap.pos)
+    nobs = lmap.nobs + has.astype(jnp.int32)
     lmap2 = LandmarkMap(pos=pos, desc=lmap.desc, valid=lmap.valid,
                         seen=seen, nobs=nobs)
     packed = jnp.concatenate([

@@ -133,7 +133,7 @@ def pair_step(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
 @partial(jax.jit, static_argnames=("match_cfg", "ransac_cfg"))
 def _loop_verify_step(desc, valid, xyn, depth,
                       kf_desc, kf_valid, kf_xyn, kf_depth,
-                      limit, exclude_lo,
+                      limit, exclude_lo, min_score, min_inliers, min_common,
                       match_cfg: MatchConfig, ransac_cfg: RansacConfig, key):
     """Monocular loop-closure retrieval + essential verification + scales.
 
@@ -202,10 +202,19 @@ def _loop_verify_step(desc, valid, xyn, depth,
             jnp.array([cand, scores[cand], ok, res.num_inliers,
                        n_b, med_b, n_a, med_a], jnp.float32),
             res.r.reshape(-1), res.t])
-        # acceptance figure of merit: inliers of candidates that pass the
-        # geometric + degeneracy + scale-overlap gates
-        merit = (ok * res.num_inliers
-                 * (jnp.minimum(n_b, n_a) >= 4).astype(jnp.float32))
+        # acceptance figure of merit: inliers among candidates that pass
+        # the SAME gates the host applies to the returned winner
+        # (_try_loop_closure) — a looser device gate would let argmax pick
+        # a candidate the host then rejects while a passing candidate at
+        # rank 2-3 is discarded
+        accept = ((ok > 0.5)
+                  & (scores[cand] >= min_score)
+                  & (res.num_inliers >= min_inliers)
+                  & (jnp.minimum(n_b, n_a) >= min_common)
+                  & jnp.isfinite(med_b) & (med_b > 1e-6)
+                  & jnp.isfinite(med_a) & (med_a > 1e-6))
+        merit = (accept.astype(jnp.float32)
+                 * res.num_inliers.astype(jnp.float32))
         return packed, merit
 
     keys = jax.random.split(key, 3)
@@ -247,7 +256,11 @@ class MonoVO:
                  vo_cfg: VOConfig | None = None,
                  pg_cfg: PoseGraphConfig = PoseGraphConfig(),
                  dist_ba: bool = False):
-        self.intr = jnp.asarray(np.asarray(intr, np.float32))
+        # host copy kept alongside the device array: keyframe promotion and
+        # loop verification read fx/fy/cx/cy on host, and fetching them
+        # back from the device costs a ~38 ms tunnel round-trip each time
+        self._intr_np = np.asarray(intr, np.float32)
+        self.intr = jnp.asarray(self._intr_np)
         # canonical shape tiers: arbitrary camera resolutions share one
         # compiled program per tier (utils/image.py); features landing in
         # the zero-pad apron are masked out after extraction
@@ -455,7 +468,7 @@ class MonoVO:
         if i >= self.vo_cfg.max_keyframes:
             return False
         f = self._feats
-        fx, fy, cx, cy = (float(v) for v in np.asarray(self.intr))
+        fx, fy, cx, cy = (float(v) for v in self._intr_np)
         xyn = jnp.stack([(f.x - cx) / fx, (f.y - cy) / fy], -1)
         # dynamic index (device scalar): a Python int would be baked into
         # the compiled update as a constant, recompiling once per ring row
@@ -534,12 +547,13 @@ class MonoVO:
             return False
         self._key, sub = jax.random.split(self._key)
         f = self._feats
-        fx, fy, cx, cy = (float(v) for v in np.asarray(self.intr))
+        fx, fy, cx, cy = (float(v) for v in self._intr_np)
         xyn = jnp.stack([(f.x - cx) / fx, (f.y - cy) / fy], -1)
         packed = np.asarray(_loop_verify_step(
             f.desc, f.valid, xyn, self._depth,
             self._kf_desc, self._kf_valid, self._kf_xyn, self._kf_depth,
-            j, exclude_lo, self.match_cfg, self.ransac_cfg, sub))
+            j, exclude_lo, cfg.loop_min_score, cfg.loop_min_inliers,
+            cfg.loop_min_common, self.match_cfg, self.ransac_cfg, sub))
         cand, score, ok, inl = (int(packed[0]), float(packed[1]),
                                 bool(packed[2] > 0.5), int(packed[3]))
         n_b, med_b, n_a, med_a = (int(packed[4]), float(packed[5]),

@@ -129,6 +129,57 @@ def _conv1d_mxu(img: jnp.ndarray, taps: np.ndarray, axis: int,
     return out[tuple(sl)]
 
 
+def _conv1d_windows(x: jnp.ndarray, tmats: jnp.ndarray, r: int, axis: int,
+                    block: int, batched_in: bool = False) -> jnp.ndarray:
+    """Output-layout window-stacked banded conv along `axis` (last or -2).
+
+    The shared core of `_conv1d_mxu2` and the direct-pyramid pass
+    (ops/pyramid.py): reflect-pad by `r`, zero-pad the axis to a block
+    multiple (AFTER the reflect pad — the trailing garbage lands past the
+    last valid output and is trimmed), stack the overlapping windows at
+    the OUTPUT position (no post-einsum transpose for XLA to materialise),
+    contract against the banded operator(s), reshape into place, trim.
+
+    tmats: [win, B] for one operator, or [L, win, B] for one operator per
+    level — the output then carries a leading L axis; `batched_in` says
+    `x` already carries it (each level contracts against its own
+    operator).  Numerics identical to the leading-axis `_conv1d_mxu`
+    form (same banded operator, same precision).
+    """
+    multi = tmats.ndim == 3
+    ax = axis % x.ndim
+    n = x.shape[ax]
+    nb = -(-n // block)
+    xp = _reflect_pad(x, r, ax)
+    if nb * block != n:
+        pad = [(0, 0)] * x.ndim
+        pad[ax] = (0, nb * block - n)
+        xp = jnp.pad(xp, pad)
+    win = block + 2 * r
+    sl_all = [slice(None)] * x.ndim
+    windows = []
+    for b in range(nb):
+        sl = list(sl_all)
+        sl[ax] = slice(b * block, b * block + win)
+        windows.append(xp[tuple(sl)])
+    last = ax == x.ndim - 1
+    assert last or ax == x.ndim - 2
+    wst = jnp.stack(windows, axis=ax)       # [..., nb, win(, W)]
+    lhs = ("l" if batched_in else "") + ("...nk" if last else "...nkw")
+    rhs = "lkc" if multi else "kc"
+    out_axes = ("l" if multi else "") + ("...nc" if last else "...ncw")
+    out = jnp.einsum(f"{lhs},{rhs}->{out_axes}", wst, tmats,
+                     precision=jax.lax.Precision.HIGH,
+                     preferred_element_type=jnp.float32)
+    if last:
+        out = out.reshape(out.shape[:-2] + (nb * block,))
+    else:
+        out = out.reshape(out.shape[:-3] + (nb * block,) + out.shape[-1:])
+    sl = [slice(None)] * out.ndim
+    sl[ax + (1 if multi and not batched_in else 0)] = slice(0, n)
+    return out[tuple(sl)]
+
+
 def _conv1d_mxu2(img: jnp.ndarray, taps: np.ndarray, axis: int,
                  block: int = 128) -> jnp.ndarray:
     """`_conv1d_mxu` with output-layout window stacking.
@@ -140,38 +191,8 @@ def _conv1d_mxu2(img: jnp.ndarray, taps: np.ndarray, axis: int,
     operator, same precision).
     """
     r = (taps.shape[0] - 1) // 2
-    ax = axis % img.ndim
-    n = img.shape[ax]
-    nb = -(-n // block)
-    x = _reflect_pad(img, r, ax)
-    if nb * block != n:
-        pad = [(0, 0)] * img.ndim
-        pad[ax] = (0, nb * block - n)
-        x = jnp.pad(x, pad)
     t = jnp.asarray(_band_matrix(taps, block))                 # [win, B]
-    win = block + 2 * r
-    sl_all = [slice(None)] * img.ndim
-    windows = []
-    for b in range(nb):
-        sl = list(sl_all)
-        sl[ax] = slice(b * block, b * block + win)
-        windows.append(x[tuple(sl)])
-    if ax == img.ndim - 1:
-        wst = jnp.stack(windows, axis=img.ndim - 1)            # [..., nb, win]
-        out = jnp.einsum("...nk,kc->...nc", wst, t,
-                         precision=jax.lax.Precision.HIGH,
-                         preferred_element_type=jnp.float32)
-        out = out.reshape(out.shape[:-2] + (nb * block,))
-    else:
-        assert ax == img.ndim - 2
-        wst = jnp.stack(windows, axis=img.ndim - 2)            # [..., nb, win, W]
-        out = jnp.einsum("...nkw,kc->...ncw", wst, t,
-                         precision=jax.lax.Precision.HIGH,
-                         preferred_element_type=jnp.float32)
-        out = out.reshape(out.shape[:-3] + (nb * block,) + out.shape[-1:])
-    sl = list(sl_all)
-    sl[ax] = slice(0, n)
-    return out[tuple(sl)]
+    return _conv1d_windows(img, t, r, axis, block)
 
 
 _CONVS = {"vpu": _conv1d, "mxu": _conv1d_mxu, "mxu2": _conv1d_mxu2}

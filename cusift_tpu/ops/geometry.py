@@ -22,7 +22,6 @@ def apply_homography(h: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     return q[:, :2] / jnp.where(jnp.abs(q[:, 2:]) > 1e-12, q[:, 2:], 1e-12)
 
 
-@f32_matmuls
 def masked_median(vals: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Median of vals[mask]; +inf-padded sort + middle index (static shape).
 
@@ -35,6 +34,7 @@ def masked_median(vals: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return s[mid]
 
 
+@f32_matmuls
 def normalise_points(pts: jnp.ndarray, w: jnp.ndarray):
     """Hartley normalisation: zero-mean, mean length sqrt(2); weighted.
 

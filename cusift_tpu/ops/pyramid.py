@@ -68,10 +68,9 @@ def octave_levels_direct(base: jnp.ndarray, cfg: SiftConfig,
     one cols-pass per octave, each contracting against a [L, win, B]
     stack of banded operators (cumulative sigmas, shared max radius).
     """
-    import jax
     import math
 
-    from .gaussian import _band_matrix, _reflect_pad, gaussian_taps
+    from .gaussian import _band_matrix, _conv1d_windows, gaussian_taps
 
     sigmas = []
     acc = 0.0
@@ -83,42 +82,9 @@ def octave_levels_direct(base: jnp.ndarray, cfg: SiftConfig,
         np.stack([_band_matrix(gaussian_taps(s, rmax), block)
                   for s in sigmas]))                       # [L, win, B]
 
-    def pass_(x, axis, batched_in):
-        ax = axis % x.ndim
-        n = x.shape[ax]
-        nb = -(-n // block)
-        xp = _reflect_pad(x, rmax, ax)
-        if nb * block != n:
-            pad = [(0, 0)] * x.ndim
-            pad[ax] = (0, nb * block - n)
-            xp = jnp.pad(xp, pad)
-        win = block + 2 * rmax
-        sl_all = [slice(None)] * x.ndim
-        windows = []
-        for b in range(nb):
-            sl = list(sl_all)
-            sl[ax] = slice(b * block, b * block + win)
-            windows.append(xp[tuple(sl)])
-        if ax == x.ndim - 1:
-            wst = jnp.stack(windows, axis=x.ndim - 1)      # [(l,)..., nb, win]
-            eq = "l...nk,lkc->l...nc" if batched_in else "...nk,lkc->l...nc"
-            out = jnp.einsum(eq, wst, tmats,
-                             precision=jax.lax.Precision.HIGH,
-                             preferred_element_type=jnp.float32)
-            out = out.reshape(out.shape[:-2] + (nb * block,))
-        else:
-            wst = jnp.stack(windows, axis=x.ndim - 2)      # [(l,)..., nb, win, W]
-            eq = "l...nkw,lkc->l...ncw" if batched_in else "...nkw,lkc->l...ncw"
-            out = jnp.einsum(eq, wst, tmats,
-                             precision=jax.lax.Precision.HIGH,
-                             preferred_element_type=jnp.float32)
-            out = out.reshape(out.shape[:-3] + (nb * block,)
-                              + out.shape[-1:])
-        sl = [slice(None)] * out.ndim
-        sl[ax + (0 if batched_in else 1)] = slice(0, n)
-        return out[tuple(sl)]
-
-    blurred = pass_(pass_(base, -2, False), -1, True)      # [L, H, W]
+    rows = _conv1d_windows(base, tmats, rmax, -2, block)   # [L, H, W]
+    blurred = _conv1d_windows(rows, tmats, rmax, -1, block,
+                              batched_in=True)
     return [base] + [blurred[i] for i in range(len(sigmas))]
 
 

@@ -79,6 +79,79 @@ def test_insert_then_localize_roundtrip():
     assert int((np.asarray(mt.lmap.seen) == 1).sum()) >= 0.8 * n
 
 
+def test_refinement_folds_duplicate_matches_once():
+    """Duplicate best-matches to one landmark count as ONE observation.
+
+    The frame match is a per-query argmax, so several query slots can hit
+    the same landmark; their triangulations share the pair's coherent
+    error.  The running-mean fold must segment-mean them (nobs +1 per
+    frame), not scatter-add per row — the naive scatter wipes the prior
+    mean and matures the landmark on fewer independent pairs than
+    `min_obs` demands.
+    """
+    n, msize = 96, 512
+    intr = jnp.asarray(np.array([200.0, 200.0, 160.0, 120.0], np.float32))
+    desc = jnp.asarray(_unit_desc(n, 7))
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.uniform(40, 280, n).astype(np.float32))
+    y = jnp.asarray(rng.uniform(30, 210, n).astype(np.float32))
+    depth0 = jnp.asarray(rng.uniform(2.0, 6.0, n).astype(np.float32))
+
+    lmap = empty_map(msize)
+    lmap = insert_step(lmap, desc, jnp.ones(n, bool),
+                       jnp.ones(n, jnp.float32), x, y, intr, depth0,
+                       jnp.zeros(n, bool), jnp.eye(3), jnp.zeros(3),
+                       jnp.int32(0), n)
+    nobs0 = np.asarray(lmap.nobs)
+
+    # second view: every landmark observed TWICE (two query slots with the
+    # same descriptor, +-0.3 px apart)
+    ang = 0.04
+    r = np.array([[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
+                  [-np.sin(ang), 0, np.cos(ang)]], np.float32)
+    t = np.array([0.15, -0.05, 0.25], np.float32)
+    pts_w = np.asarray(lmap.pos)[:n]
+    pc = pts_w @ r.T + t
+    fx, fy, cx, cy = np.asarray(intr)
+    u = pc[:, 0] / pc[:, 2] * fx + cx
+    v = pc[:, 1] / pc[:, 2] * fy + cy
+    q_desc = jnp.asarray(np.repeat(np.asarray(desc), 2, axis=0))
+    du = rng.uniform(-0.3, 0.3, 2 * n).astype(np.float32)
+    dv = rng.uniform(-0.3, 0.3, 2 * n).astype(np.float32)
+    qu = jnp.asarray(np.repeat(u, 2) + du)
+    qv = jnp.asarray(np.repeat(v, 2) + dv)
+    q_depth = jnp.asarray(np.repeat(pc[:, 2], 2).astype(np.float32))
+    q_xyn = np.stack([(np.asarray(qu) - cx) / fx,
+                      (np.asarray(qv) - cy) / fy], -1)
+    q_pts = jnp.asarray(
+        np.concatenate([q_xyn, np.ones_like(q_xyn[:, :1])], -1)
+        * np.asarray(q_depth)[:, None])
+
+    mt = localize_step(
+        q_desc, jnp.ones(2 * n, bool), qu, qv, intr,
+        q_depth, q_pts,
+        jnp.bool_(True), jnp.asarray(r), jnp.asarray(t),
+        jnp.float32(1.0), jnp.float32(1.0),
+        jnp.eye(3), jnp.zeros(3), jnp.eye(3), jnp.zeros(3),
+        lmap, jnp.int32(1), jnp.int32(-5), jnp.int32(10),
+        jnp.int32(5), jnp.int32(8), jnp.float32(0.4),
+        MatchConfig(), RansacConfig(num_hypotheses=256),
+        jax.random.PRNGKey(3))
+
+    inl = np.asarray(mt.inliers)
+    assert inl.sum() >= n, "most duplicate observations should localise"
+    d_nobs = np.asarray(mt.lmap.nobs) - nobs0
+    assert d_nobs.max() == 1, \
+        f"a frame must add at most one observation per landmark " \
+        f"(max increment {d_nobs.max()})"
+    assert (d_nobs >= 1).sum() >= 0.8 * n
+    # refined positions stay a proper running mean: halfway between the
+    # creation position and this frame's (near-exact) re-triangulation,
+    # never extrapolated past the observations
+    moved = np.linalg.norm(np.asarray(mt.lmap.pos)[:n] - pts_w, axis=-1)
+    assert np.median(moved[d_nobs[:n] == 1]) < 0.05
+
+
 def test_insert_eviction_prefers_invalid_then_oldest():
     msize, n = 64, 32
     intr = jnp.asarray(np.array([200.0, 200.0, 160.0, 120.0], np.float32))

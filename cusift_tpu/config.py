@@ -261,6 +261,19 @@ class SlamConfig:
     # sharding requires the newest-anchored [W, N] grid layout (landmark
     # n owns column n), which the union's owner indirection breaks.
     local_ba_anchor: str = "newest"
+    # keyframe eviction once the ring is full (sequence-scale realism:
+    # KITTI/TUM-length runs need far more keyframes than any static ring
+    # holds, and closures fire on INSERT — a full ring silently turns
+    # loop closure off).  "redundant" thins the densest stretch of camera
+    # centres (keeps spatial coverage so revisits still retrieve),
+    # "oldest" is FIFO (sliding-window odometry semantics), "none"
+    # restores the round-2 stop-growing behaviour.  Either eviction
+    # shifts the ring left so slot index stays temporal order, which the
+    # local-BA window and the loop temporal gap assume; frames referenced
+    # to an evicted keyframe are baked to absolute poses frozen at its
+    # final estimate (marginalisation semantics — they stop receiving
+    # retroactive loop corrections).
+    kf_evict: str = "redundant"
 
 
 @dataclass(frozen=True)

@@ -229,6 +229,116 @@ class Slam:
         self._ref_cache = (i, s.kf_desc[i], s.kf_valid[i], s.kf_pts[i])
         return i
 
+    def _evict_keyframe(self):
+        """Free one ring slot for a new keyframe; returns the slot or None.
+
+        Victim policy (cfg.kf_evict): "redundant" removes the keyframe
+        whose camera centre is closest to its temporal neighbours' —
+        thinning dense stretches while keeping the map's spatial coverage,
+        so revisited regions still retrieve for loop closure; nodes
+        holding loop edges are protected (they anchor the optimised
+        graph).  "oldest" removes the oldest evictable slot (FIFO /
+        sliding-window semantics).  Slot 0 (the gauge origin) and the
+        newest `local_ba_window` slots (the active BA window and tracking
+        neighbourhood) are never evicted.
+        """
+        s = self.state
+        mode = self.cfg.kf_evict
+        guard = max(self.cfg.local_ba_window, 2)
+        lo, hi = 1, s.n_kf - guard
+        if mode == "none" or hi <= lo:
+            return None
+        if mode == "oldest":
+            victim = lo
+        else:
+            assert mode == "redundant", f"unknown kf_evict {mode!r}"
+            # camera centres c = -R^T t of keyframes [lo-1, hi]
+            r = s.kf_pose_r[:s.n_kf]
+            t = s.kf_pose_t[:s.n_kf]
+            c = -np.einsum("kji,kj->ki", r, t)
+            d = (np.linalg.norm(c[lo:hi] - c[lo - 1:hi - 1], axis=-1)
+                 + np.linalg.norm(c[lo + 1:hi + 1] - c[lo:hi], axis=-1))
+            # loop-edge nodes anchor the optimised graph: prefer any
+            # loop-free node first (additive penalty, NOT a hard
+            # exclusion — closure-dense maps must still make room, or
+            # insertion stalls and tracking degrades with the camera
+            # moving away from a frozen ring)
+            has_loop = np.zeros(hi - lo, bool)
+            for k in range(len(s.edge_i)):
+                if s.weight[k] > 1.5:            # loop edges carry weight 2
+                    for e in (s.edge_i[k], s.edge_j[k]):
+                        if lo <= e < hi:
+                            has_loop[e - lo] = True
+            d = d + np.where(has_loop, 1e6, 0.0)
+            victim = lo + int(np.argmin(d))
+        self._remove_keyframe_slot(victim)
+        return victim
+
+    def _remove_keyframe_slot(self, v: int):
+        """Remove ring slot v, shifting slots above it down by one.
+
+        Keeps slot index == temporal order (the invariant behind the
+        local-BA window and the loop temporal gap).  Trajectory frames
+        referenced to v are baked to ABSOLUTE world-to-camera poses at
+        its current (post-optimisation) estimate and marked ref = -1;
+        the victim's in/out edges are spliced into one composed edge
+        (T_a T_v^-1 followed by T_v T_b^-1 composes exactly); remaining
+        edges incident to v are dropped.
+        """
+        s = self.state
+        rv, tv = s.kf_pose_r[v].copy(), s.kf_pose_t[v].copy()
+        for i, ref in enumerate(s.traj_ref):
+            if ref == v:
+                s.traj_rel_t[i] = s.traj_rel_r[i] @ tv + s.traj_rel_t[i]
+                s.traj_rel_r[i] = s.traj_rel_r[i] @ rv
+                s.traj_ref[i] = -1
+            elif ref > v:
+                s.traj_ref[i] = ref - 1
+
+        ins = [k for k in range(len(s.edge_i))
+               if s.edge_j[k] == v and s.edge_i[k] != v]
+        outs = [k for k in range(len(s.edge_i))
+                if s.edge_i[k] == v and s.edge_j[k] != v]
+        spliced = None
+        if ins and outs:
+            a, b = ins[0], outs[0]
+            if s.edge_i[a] != s.edge_j[b]:
+                spliced = (s.edge_i[a], s.edge_j[b],
+                           s.meas_r[a] @ s.meas_r[b],
+                           s.meas_r[a] @ s.meas_t[b] + s.meas_t[a],
+                           min(s.weight[a], s.weight[b]))
+        keep = [k for k in range(len(s.edge_i))
+                if s.edge_i[k] != v and s.edge_j[k] != v]
+
+        def shift(x):
+            return x - 1 if x > v else x
+
+        s.edge_i = [shift(s.edge_i[k]) for k in keep]
+        s.edge_j = [shift(s.edge_j[k]) for k in keep]
+        s.meas_r = [s.meas_r[k] for k in keep]
+        s.meas_t = [s.meas_t[k] for k in keep]
+        s.weight = [s.weight[k] for k in keep]
+        if spliced is not None:
+            self._add_edge(shift(spliced[0]), shift(spliced[1]),
+                           spliced[2], spliced[3], spliced[4])
+
+        # shift the device ring with one same-shape gather (indices are a
+        # traced argument: no recompile per victim); stale data parked in
+        # the freed top slot is overwritten by the insert that follows
+        kfcap = self.cfg.max_keyframes
+        perm = jnp.asarray(np.concatenate(
+            [np.arange(v), np.arange(v + 1, kfcap), [v]]).astype(np.int32))
+        s.kf_desc = s.kf_desc[perm]
+        s.kf_valid = s.kf_valid[perm]
+        s.kf_pts = s.kf_pts[perm]
+        pnp = np.asarray(perm)
+        s.kf_pose_r = s.kf_pose_r[pnp].copy()
+        s.kf_pose_t = s.kf_pose_t[pnp].copy()
+        s.n_kf -= 1
+        ref = self._ref_cache[0]
+        if ref > v:        # cached views are by value; only the index moves
+            self._ref_cache = (ref - 1,) + self._ref_cache[1:]
+
     def _add_edge(self, i, j, rel_r, rel_t, weight=1.0):
         """Edge constraint: measured T_i * T_j^-1 (world-to-cam convention)."""
         s = self.state
@@ -349,20 +459,32 @@ class Slam:
             or rot_mag > self.cfg.kf_max_rotation)
 
         loop_found = False
-        added_kf = need_kf and s.n_kf < self.cfg.max_keyframes
+        added_kf = False
+        if need_kf:
+            # pose of the new keyframe: T_cur<-w = T_cur<-ref * T_ref<-w —
+            # computed BEFORE any eviction shifts the ring `ref` indexes
+            # (host numpy 3x3 math; device round-trips cost ~38 ms each)
+            pose_r = rel_r @ s.kf_pose_r[ref]
+            pose_t = rel_r @ s.kf_pose_t[ref] + rel_t
+            edge_ref = ref
+            if s.n_kf >= self.cfg.max_keyframes:
+                v = self._evict_keyframe()
+                if v is not None:
+                    if edge_ref == v:
+                        edge_ref = -1      # odometry ref itself evicted
+                    elif edge_ref > v:
+                        edge_ref -= 1
+            added_kf = s.n_kf < self.cfg.max_keyframes
         if added_kf:
             if index is not None:
                 feats = jax.tree.map(lambda a: a[index], feats)
                 pts = pts[index]
             desc, valid = feats.desc, feats.valid
-            # pose of the new keyframe: T_cur<-w = T_cur<-ref * T_ref<-w
-            # (host numpy 3x3 math; device round-trips cost ~38 ms each)
-            pose_r = rel_r @ s.kf_pose_r[ref]
-            pose_t = rel_r @ s.kf_pose_t[ref] + rel_t
             j = self._add_keyframe(desc, valid, pts, pose_r, pose_t)
-            # odometry edge ref -> j measured T_ref * T_j^-1
-            o_r, o_t = rel_r.T, -(rel_r.T @ rel_t)
-            self._add_edge(ref, j, o_r, o_t, 1.0)
+            if edge_ref >= 0:
+                # odometry edge ref -> j measured T_ref * T_j^-1
+                o_r, o_t = rel_r.T, -(rel_r.T @ rel_t)
+                self._add_edge(edge_ref, j, o_r, o_t, 1.0)
             self._local_ba()
             loop_found = self._try_loop_closure(j, desc, valid, pts)
             s.traj_ref.append(j)
@@ -582,6 +704,12 @@ class Slam:
         kt = s.kf_pose_t
         rs, ts = [], []
         for ref, rel_r, rel_t in zip(s.traj_ref, s.traj_rel_r, s.traj_rel_t):
+            if ref < 0:
+                # baked absolute pose: the reference keyframe was evicted
+                # and this frame's pose froze at its final estimate
+                rs.append(rel_r)
+                ts.append(rel_t)
+                continue
             r = rel_r @ kr[ref]
             t = rel_r @ kt[ref] + rel_t
             rs.append(r)

@@ -159,3 +159,98 @@ def test_blackout_recovery():
     assert rec["tracked"]
     slam.process_frame(seq.images[5], seq.depths[5])
     assert slam.metrics[-1]["tracked"]
+
+
+def _rot_z(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+
+
+def test_keyframe_eviction_splices_edges_and_freezes_frames():
+    """_remove_keyframe_slot keeps the map consistent around the victim.
+
+    Removing slot v must (a) leave every frame's reconstructed pose
+    bit-identical (frames referencing v are baked to absolutes at v's
+    current estimate), (b) splice v's in/out odometry edges into one
+    composed constraint T_a T_b^-1, and (c) shift all higher slot
+    indices down so index order stays temporal.
+    """
+    sift = SiftConfig(max_kpts=64, max_kpts_per_octave=64, num_octaves=2,
+                      upscale=False)
+    slam = Slam(np.array([200.0, 200.0, 160.0, 120.0], np.float32),
+                sift_cfg=sift,
+                slam_cfg=SlamConfig(max_keyframes=8, local_ba_window=3))
+    s = slam.state
+    n = sift.total_kpts
+    poses = []
+    for i in range(5):
+        r, t = _rot_z(0.1 * i), np.array([i, 0.2 * i, 0], np.float32)
+        poses.append((r, t))
+        slam._add_keyframe(jnp.zeros((n, 128)), jnp.zeros(n, bool),
+                           jnp.zeros((n, 3)), r, t)
+        if i:
+            rp, tp = poses[i - 1]
+            m_r = rp @ r.T
+            slam._add_edge(i - 1, i, m_r, tp - m_r @ t, 1.0)
+        s.traj_ref.append(i)
+        s.traj_rel_r.append(_rot_z(0.01 * i))
+        s.traj_rel_t.append(np.array([0.0, 0.0, 0.1 * i], np.float32))
+        s.traj_ok.append(True)
+    before_r, before_t = slam.trajectory()
+
+    slam._remove_keyframe_slot(2)
+
+    after_r, after_t = slam.trajectory()
+    np.testing.assert_allclose(after_r, before_r, atol=1e-6)
+    np.testing.assert_allclose(after_t, before_t, atol=1e-6)
+    assert s.n_kf == 4
+    assert s.traj_ref == [0, 1, -1, 2, 3]
+    # edges (0,1),(1,2),(2,3),(3,4) -> (0,1),(2,3) shifted + spliced (1,2)
+    assert sorted(zip(s.edge_i, s.edge_j)) == [(0, 1), (1, 2), (2, 3)]
+    k = list(zip(s.edge_i, s.edge_j)).index((1, 2))
+    r1, t1 = poses[1]
+    r3, t3 = poses[3]
+    m_r = r1 @ r3.T
+    np.testing.assert_allclose(s.meas_r[k], m_r, atol=1e-6)
+    np.testing.assert_allclose(s.meas_t[k], t1 - m_r @ t3, atol=1e-6)
+    # ring arrays shifted: slot 2 now holds the old slot-3 pose
+    np.testing.assert_allclose(s.kf_pose_r[2], poses[3][0], atol=1e-6)
+    np.testing.assert_allclose(s.kf_pose_t[3], poses[4][1], atol=1e-6)
+
+
+@pytest.mark.slow
+def test_slam_soak_ring_eviction_keeps_tracking_and_closing():
+    """Sequence-scale soak (configs[3] realism): 100 frames, 20-slot ring.
+
+    Without eviction the ring fills by frame ~20, insertion stops, loop
+    closure (which fires on insert) dies with it, and tracking survives
+    only ~2/3 of frames as the camera leaves the frozen map (measured:
+    scripts/slam_soak_probe.py).  With the default "redundant" eviction
+    the same run tracks 100/100, keeps inserting to the last frame, and
+    closes loops throughout (measured: 24 closures, ATE 5.0% of path).
+    """
+    seq = planar_rgbd_sequence(n_frames=100, h=240, w=320, seed=11,
+                               motion_scale=1.0, depth_noise=0.01)
+    sift = SiftConfig(max_kpts=256, max_kpts_per_octave=256, num_octaves=3,
+                      upscale=False)
+    cfg = SlamConfig(max_keyframes=20, loop_temporal_gap=8,
+                     checkpoint_every=0)
+    slam = Slam(seq.intr, sift_cfg=sift, slam_cfg=cfg)
+    recs = slam.run(zip(seq.images, seq.depths))
+
+    assert sum(r.get("tracked", True) for r in recs) == 100
+    assert slam.state.n_kf == cfg.max_keyframes
+    kfs = [r["frame"] for r in recs if r.get("keyframe")]
+    assert kfs[-1] > 80, "insertion must continue after the ring fills"
+    loops = [r["frame"] for r in recs if r.get("loop")]
+    assert len(loops) >= 5 and loops[-1] > 50
+    ate = slam.ate(seq.poses_r, seq.poses_t)
+    path = np.linalg.norm(np.diff(
+        -np.einsum("nij,ni->nj", seq.poses_r, seq.poses_t), axis=0),
+        axis=-1).sum()
+    assert ate < 0.08 * path, f"ATE {ate:.3f} vs path {path:.3f}"
+    # evicted-frame bookkeeping: some frames were baked to absolutes and
+    # every reconstructed pose stays finite
+    est_r, est_t = slam.trajectory()
+    assert len(est_r) == 100 and np.isfinite(est_t).all()
+    assert any(ref == -1 for ref in slam.state.traj_ref)

@@ -301,6 +301,14 @@ class VOConfig:
     loop_temporal_gap: int = 20     # keyframes; ignore recent neighbours
     loop_min_inliers: int = 60      # essential-inlier verification gate
     loop_min_common: int = 8        # tracked-depth overlap for edge scale
+    # keyframe eviction once the ring is full, mirroring
+    # SlamConfig.kf_evict: KITTI-length sequences need far more keyframes
+    # than any static ring, and loop closures fire on INSERT.  Cheaper
+    # here than in RGB-D SLAM: mono frames re-derive their relative pose
+    # from the raw chain at output time, so frames riding an evicted
+    # keyframe just inherit the previous keyframe's correction (no pose
+    # baking); Sim(3) odometry edges through the victim compose exactly.
+    kf_evict: str = "redundant"     # "redundant" | "oldest" | "none"
     # persistent-map scale anchoring (models/monomap.py): localise every
     # frame against a landmark map with PnP RANSAC instead of trusting the
     # per-pair depth-ratio scale chain (whose coherent error random-walks

@@ -307,7 +307,8 @@ class MonoVO:
             self._kf_xyn = jnp.zeros((kf, n, 2), jnp.float32)
             self._kf_depth = jnp.zeros((kf, n), jnp.float32)
             # pose-graph edges (host lists, bounded by keyframe count)
-            self._edges: list[tuple] = []   # (i, j, meas_r, meas_t, weight)
+            # (i, j, meas_r, meas_t, meas_s, weight)
+            self._edges: list[tuple] = []
             if vo_cfg.map_anchor:
                 # persistent landmark map + device-side pose state (the
                 # pose select runs inside the jitted step — uploading the
@@ -456,17 +457,112 @@ class MonoVO:
 
     # ---------- sequence-scale frontend (keyframes / loops / pose graph) ----
 
+    def _evict_keyframe(self):
+        """Free one keyframe-ring slot; returns the evicted slot or None.
+
+        Mirrors models/slam.py:_evict_keyframe: "redundant" thins the
+        densest stretch of camera centres (raw-chain centres — scale drift
+        skews distances but only the RANKING matters) with loop-anchored
+        nodes soft-penalised, "oldest" is FIFO.  Slot 0 (the gauge origin)
+        and the newest 2 slots (the loop-verify reference neighbourhood)
+        are never evicted.
+        """
+        mode = self.vo_cfg.kf_evict
+        lo, hi = 1, self.n_kf - 2
+        if mode == "none" or hi <= lo:
+            return None
+        if mode == "oldest":
+            victim = lo
+        else:
+            assert mode == "redundant", f"unknown kf_evict {mode!r}"
+            r = self._kf_pose_r[:self.n_kf]
+            t = self._kf_pose_t[:self.n_kf]
+            c = -np.einsum("kji,kj->ki", r, t)
+            d = (np.linalg.norm(c[lo:hi] - c[lo - 1:hi - 1], axis=-1)
+                 + np.linalg.norm(c[lo + 1:hi + 1] - c[lo:hi], axis=-1))
+            has_loop = np.zeros(hi - lo, bool)
+            for (ei, ej, _r, _t, _s, w) in self._edges:
+                if w > 1.5:                      # loop edges carry weight 2
+                    for e in (ei, ej):
+                        if lo <= e < hi:
+                            has_loop[e - lo] = True
+            d = d + np.where(has_loop, 1e6, 0.0)
+            victim = lo + int(np.argmin(d))
+        self._remove_keyframe_slot(victim)
+        return victim
+
+    def _remove_keyframe_slot(self, v: int):
+        """Remove ring slot v, shifting slots above it down by one.
+
+        Index order stays temporal (the loop temporal gap assumes it).
+        Frames riding v inherit the PREVIOUS keyframe's correction:
+        `trajectory()` re-derives each frame's relative pose from the raw
+        chain, so any reference decomposes exactly — only the Sim(3)
+        correction lineage changes.  The victim's in/out edges compose
+        into one Sim(3) constraint (scales multiply, translations carry
+        the upstream scale); other incident edges are dropped.  Landmark
+        `seen` epochs in the optional map anchor are keyframe indices and
+        are NOT remapped — they only feed a recency window, where an
+        off-by-one after eviction is harmless.
+        """
+        self._frame_ref = [r - 1 if r > v else (v - 1 if r == v else r)
+                           for r in self._frame_ref]
+        ins = [e for e in self._edges if e[1] == v and e[0] != v]
+        outs = [e for e in self._edges if e[0] == v and e[1] != v]
+        spliced = None
+        if ins and outs:
+            a, b = ins[0], outs[0]
+            if a[0] != b[1]:
+                # X_a = s1 R1 X_v + t1 and X_v = s2 R2 X_b + t2 compose to
+                # X_a = (s1 s2)(R1 R2) X_b + s1 R1 t2 + t1
+                spliced = (a[0], b[1], a[2] @ b[2],
+                           a[4] * (a[2] @ b[3]) + a[3],
+                           a[4] * b[4], min(a[5], b[5]))
+
+        def shift(x):
+            return x - 1 if x > v else x
+
+        self._edges = [(shift(e[0]), shift(e[1])) + e[2:]
+                       for e in self._edges if e[0] != v and e[1] != v]
+        if spliced is not None:
+            self._edges.append((shift(spliced[0]), shift(spliced[1]))
+                               + spliced[2:])
+
+        kfcap = self.vo_cfg.max_keyframes
+        perm = np.concatenate(
+            [np.arange(v), np.arange(v + 1, kfcap), [v]]).astype(np.int32)
+        dperm = jnp.asarray(perm)
+        self._kf_desc = self._kf_desc[dperm]
+        self._kf_valid = self._kf_valid[dperm]
+        self._kf_xyn = self._kf_xyn[dperm]
+        self._kf_depth = self._kf_depth[dperm]
+        self._kf_pose_r = self._kf_pose_r[perm].copy()
+        self._kf_pose_t = self._kf_pose_t[perm].copy()
+        del self._kf_frame[v]
+        if getattr(self, "_corr", None) is not None:
+            cr, ct, cs = self._corr
+            self._corr = (np.concatenate([cr[perm[:-1]],
+                                          np.eye(3, dtype=cr.dtype)[None]]),
+                          np.concatenate([ct[perm[:-1]],
+                                          np.zeros((1, 3), ct.dtype)]),
+                          np.concatenate([cs[perm[:-1]],
+                                          np.ones(1, cs.dtype)]))
+        self.n_kf -= 1
+
     def _insert_keyframe(self) -> bool:
         """Promote the current frame into the keyframe ring.
 
         Stores descriptors, normalised image coordinates, and the chained
         global-scale depths; adds the odometry pose-graph edge to the
-        previous keyframe.  Graceful at capacity: odometry continues
-        without map growth (tested at ring overflow).
+        previous keyframe.  At capacity a slot is evicted first
+        (`vo_cfg.kf_evict`); with eviction off, odometry continues
+        without map growth (both tested at ring overflow).
         """
         i = self.n_kf
         if i >= self.vo_cfg.max_keyframes:
-            return False
+            if self._evict_keyframe() is None:
+                return False
+            i = self.n_kf
         f = self._feats
         fx, fy, cx, cy = (float(v) for v in self._intr_np)
         xyn = jnp.stack([(f.x - cx) / fx, (f.y - cy) / fy], -1)

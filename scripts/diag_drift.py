@@ -58,6 +58,8 @@ def main():
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--ba-window", type=int, default=0)
+    ap.add_argument("--max-keyframes", type=int, default=96)
+    ap.add_argument("--kf-evict", default="redundant")
     ap.add_argument("--ba-every", type=int, default=2)
     ap.add_argument("--ba-anchor", choices=("newest", "union"),
                     default="newest",
@@ -74,7 +76,8 @@ def main():
 
     seq = two_plane_sequence(n_frames=300, h=240, w=320, seed=3,
                              motion_scale=0.9, path="loop", amplitude=6.0)
-    vo_cfg = VOConfig(max_keyframes=96, kf_every=4, loop_temporal_gap=30,
+    vo_cfg = VOConfig(max_keyframes=args.max_keyframes,
+                      kf_evict=args.kf_evict, kf_every=4, loop_temporal_gap=30,
                       loop_min_inliers=25, loop_min_score=0.05,
                       loop_min_common=8, map_anchor=args.map_anchor,
                       map_size=4096, map_insert_budget=256,

@@ -112,10 +112,78 @@ def test_keyframe_ring_overflow_graceful():
     """At max_keyframes the map stops growing but odometry continues."""
     seq = two_plane_sequence(n_frames=14, h=240, w=320, seed=7,
                              motion_scale=0.8, amplitude=2.0)
-    vo_cfg = VOConfig(max_keyframes=3, kf_every=2, loop_temporal_gap=50)
+    vo_cfg = VOConfig(max_keyframes=3, kf_every=2, loop_temporal_gap=50,
+                      kf_evict="none")
     vo = MonoVO(seq.intr, sift_cfg=SIFT, vo_cfg=vo_cfg)
     er, et = vo.run(iter(seq.images))
     assert vo.n_kf == 3
     assert len(er) == 14
     n_ok = sum(1 for s in vo.stats if s["ok"])
     assert n_ok >= 0.8 * len(vo.stats)
+
+
+def test_keyframe_ring_overflow_evicts_and_keeps_inserting():
+    """Default eviction: the ring stays at capacity but keeps ingesting."""
+    seq = two_plane_sequence(n_frames=14, h=240, w=320, seed=7,
+                             motion_scale=0.8, amplitude=2.0)
+    vo_cfg = VOConfig(max_keyframes=5, kf_every=2, loop_temporal_gap=50)
+    vo = MonoVO(seq.intr, sift_cfg=SIFT, vo_cfg=vo_cfg)
+    er, et = vo.run(iter(seq.images))
+    assert vo.n_kf == 5
+    # with kf_every=2 over 14 frames ~7 keyframes are promoted: the later
+    # ones must land (ring newest advances past the fill point)
+    assert vo._kf_frame[-1] >= 10
+    assert len(vo._kf_frame) == 5
+    assert sorted(vo._kf_frame) == vo._kf_frame  # temporal order kept
+    assert len(er) == 14 and np.isfinite(et).all()
+    n_ok = sum(1 for s in vo.stats if s["ok"])
+    assert n_ok >= 0.8 * len(vo.stats)
+
+
+def test_mono_remove_keyframe_slot_splices_sim3_edges():
+    """_remove_keyframe_slot: edge splice composes Sim(3), refs remap."""
+    intr = np.array([200.0, 200.0, 160.0, 120.0], np.float32)
+    vo = MonoVO(intr, sift_cfg=SIFT,
+                vo_cfg=VOConfig(max_keyframes=8, loop_temporal_gap=50))
+
+    def rot_z(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+
+    vo._kf_pose_r = np.zeros((8, 3, 3), np.float32)
+    vo._kf_pose_t = np.zeros((8, 3), np.float32)
+    poses = []
+    for i in range(5):
+        r, t = rot_z(0.1 * i), np.array([i, 0.1 * i, 0], np.float32)
+        poses.append((r, t))
+        vo._kf_pose_r[i] = r
+        vo._kf_pose_t[i] = t
+        vo._kf_frame.append(2 * i)
+        if i:
+            rp, tp = poses[i - 1]
+            m_r = rp @ r.T
+            s_m = 1.0 + 0.1 * i          # non-unit edge scales
+            vo._edges.append((i - 1, i, m_r, tp - m_r @ t, s_m, 1.0))
+    vo.n_kf = 5
+    vo._frame_ref = [0, 1, 2, 2, 3, 4]
+
+    vo._remove_keyframe_slot(2)
+
+    assert vo.n_kf == 4
+    assert vo._frame_ref == [0, 1, 1, 1, 2, 3]
+    assert vo._kf_frame == [0, 2, 6, 8]
+    pairs = sorted((e[0], e[1]) for e in vo._edges)
+    assert pairs == [(0, 1), (1, 2), (2, 3)]
+    spliced = [e for e in vo._edges if (e[0], e[1]) == (1, 2)][0]
+    # edges (1,2,s=1.2) and (2,3,s=1.3): compose to scale 1.56 and
+    # T_1 T_3^-1 rotation/translation via the Sim(3) chain
+    r12 = poses[1][0] @ poses[2][0].T
+    t12 = poses[1][1] - r12 @ poses[2][1]
+    r23 = poses[2][0] @ poses[3][0].T
+    t23 = poses[2][1] - r23 @ poses[3][1]
+    np.testing.assert_allclose(spliced[2], r12 @ r23, atol=1e-6)
+    np.testing.assert_allclose(spliced[3], 1.2 * (r12 @ t23) + t12, atol=1e-5)
+    assert abs(spliced[4] - 1.2 * 1.3) < 1e-6
+    # ring pose arrays shifted
+    np.testing.assert_allclose(vo._kf_pose_r[2], poses[3][0], atol=1e-6)
+    np.testing.assert_allclose(vo._kf_pose_t[3], poses[4][1], atol=1e-6)

@@ -172,6 +172,8 @@ class SlamState:
     traj_rel_t: list
     traj_ok: list
     n_closures: int = 0
+    n_kf_total: int = 0       # keyframes ever inserted (monotonic; n_kf
+                              # pins at capacity once eviction starts)
 
 
 class Slam:
@@ -224,6 +226,7 @@ class Slam:
         s.kf_pose_r[i] = np.asarray(pose_r)
         s.kf_pose_t[i] = np.asarray(pose_t)
         s.n_kf = i + 1
+        s.n_kf_total += 1
         # cache the new reference's committed views: passing lazy slices to
         # the jitted step makes its dispatch block ~48 ms on the tunnel
         self._ref_cache = (i, s.kf_desc[i], s.kf_valid[i], s.kf_pts[i])
@@ -506,8 +509,11 @@ class Slam:
         # only on a freshly-INSERTED keyframe — need_kf alone keeps firing
         # every frame once the keyframe ring is full
         if (added_kf and self.cfg.checkpoint_every
-                and s.n_kf % self.cfg.checkpoint_every == 0):
-            self.checkpoint(f"slam_ckpt_{s.n_kf:04d}.npz")
+                and s.n_kf_total % self.cfg.checkpoint_every == 0):
+            # cadence and name key on the MONOTONIC insert count: n_kf
+            # pins at capacity once eviction starts, which would fire
+            # every insert or never (and overwrite one file)
+            self.checkpoint(f"slam_ckpt_{s.n_kf_total:04d}.npz")
         return rec
 
     def run(self, frames, max_frames: int | None = None,
@@ -738,7 +744,8 @@ class Slam:
             traj_rel_r=np.stack(s.traj_rel_r) if s.traj_rel_r else np.zeros((0, 3, 3)),
             traj_rel_t=np.stack(s.traj_rel_t) if s.traj_rel_t else np.zeros((0, 3)),
             traj_ok=np.array(s.traj_ok, bool),
-            n_closures=s.n_closures, key=np.asarray(self.key),
+            n_closures=s.n_closures, n_kf_total=s.n_kf_total,
+            key=np.asarray(self.key),
         )
 
     def restore(self, path: str):
@@ -760,6 +767,8 @@ class Slam:
         s.traj_rel_t = list(z["traj_rel_t"])
         s.traj_ok = list(z["traj_ok"])
         s.n_closures = int(z["n_closures"])
+        # absent in pre-eviction checkpoints: fall back to the live count
+        s.n_kf_total = int(z["n_kf_total"]) if "n_kf_total" in z else s.n_kf
         self.key = jnp.asarray(z["key"])
         i = s.n_kf - 1
         self._ref_cache = (i, s.kf_desc[i], s.kf_valid[i], s.kf_pts[i])

@@ -104,7 +104,8 @@ def cmd_slam(args):
                                     max_kpts_per_octave=args.max_kpts // 2),
                 ransac_cfg=RansacConfig(inlier_thresh_3d=0.03),
                 slam_cfg=SlamConfig(checkpoint_every=args.checkpoint_every,
-                                    local_ba_anchor=args.ba_anchor),
+                                    local_ba_anchor=args.ba_anchor,
+                                    kf_evict=args.kf_evict),
                 dist_ba=getattr(args, "dist", False))
     t0 = time.time()
 
@@ -204,7 +205,7 @@ def cmd_odo(args):
         gt = (seq.poses_r, seq.poses_t)
 
     from .config import VOConfig
-    vo_cfg = (VOConfig(map_anchor=args.map_anchor)
+    vo_cfg = (VOConfig(map_anchor=args.map_anchor, kf_evict=args.kf_evict)
               if (args.loop or args.map_anchor) else None)
     if args.dist:
         from .parallel.mesh import init_distributed
@@ -334,6 +335,11 @@ def main(argv=None):
                    default="newest",
                    help="local-BA landmark anchoring scheme (union "
                         "forces the single-device BA path)")
+    s.add_argument("--kf-evict", choices=("redundant", "oldest", "none"),
+                   default="redundant",
+                   help="keyframe eviction policy once the ring is full "
+                        "(redundant keeps spatial coverage; none restores "
+                        "the stop-growing behaviour)")
     s.add_argument("--dist", action="store_true",
                    help="shard the local-BA Schur solve over every "
                         "device's map axis (needs >1 devices)")
@@ -365,6 +371,9 @@ def main(argv=None):
                    help="persistent-landmark map + PnP localisation "
                         "(anchors the monocular scale to the map instead "
                         "of the per-pair chain; implies --loop)")
+    o.add_argument("--kf-evict", choices=("redundant", "oldest", "none"),
+                   default="redundant",
+                   help="keyframe eviction policy once the ring is full")
     o.add_argument("--dist", action="store_true",
                    help="shard the windowed-BA Schur solve over every "
                         "device's map axis (needs --ba-window and >1 "

@@ -200,6 +200,8 @@ class Slam:
             edge_i=[], edge_j=[], meas_r=[], meas_t=[], weight=[],
             traj_ref=[], traj_rel_r=[], traj_rel_t=[], traj_ok=[])
         self.metrics: list[dict] = []
+        # chunked-run in-flight reference slot holder (see _run_chunked)
+        self._chunk_ref: list | None = None
         # optional per-frame callback (e.g. streaming JSONL metrics); called
         # with each record as soon as it is committed, so long runs keep
         # their observability even if interrupted
@@ -251,8 +253,13 @@ class Slam:
         lo, hi = 1, s.n_kf - guard
         if mode == "none" or hi <= lo:
             return None
+        # a chunked run's in-flight reference keyframe must survive the
+        # chunk (its packed measurements resolve through that slot)
+        pinned = self._chunk_ref[0] if self._chunk_ref is not None else -1
         if mode == "oldest":
-            victim = lo
+            victim = lo if lo != pinned else lo + 1
+            if victim >= hi:
+                return None
         else:
             assert mode == "redundant", f"unknown kf_evict {mode!r}"
             # camera centres c = -R^T t of keyframes [lo-1, hi]
@@ -261,6 +268,10 @@ class Slam:
             c = -np.einsum("kji,kj->ki", r, t)
             d = (np.linalg.norm(c[lo:hi] - c[lo - 1:hi - 1], axis=-1)
                  + np.linalg.norm(c[lo + 1:hi + 1] - c[lo:hi], axis=-1))
+            if lo <= pinned < hi:
+                d[pinned - lo] = np.inf
+                if not np.isfinite(d).any():
+                    return None
             # loop-edge nodes anchor the optimised graph: prefer any
             # loop-free node first (additive penalty, NOT a hard
             # exclusion — closure-dense maps must still make room, or
@@ -341,6 +352,8 @@ class Slam:
         ref = self._ref_cache[0]
         if ref > v:        # cached views are by value; only the index moves
             self._ref_cache = (ref - 1,) + self._ref_cache[1:]
+        if self._chunk_ref is not None and self._chunk_ref[0] > v:
+            self._chunk_ref[0] -= 1   # never == v: eviction pins it
 
     def _add_edge(self, i, j, rel_r, rel_t, weight=1.0):
         """Edge constraint: measured T_i * T_j^-1 (world-to-cam convention)."""
@@ -573,8 +586,18 @@ class Slam:
                 fchunk, self.intr, kd, kv, kp, self.sift_cfg,
                 self.match_cfg, self.ransac_cfg, keys)
             packed_np = np.asarray(packed)           # the one fetch
-            for i in range(n_valid):
-                self._commit(feats, pts, packed_np[i], ref, index=i)
+            # every frame of the chunk was measured against the keyframe
+            # captured above, so its SLOT must stay resolvable across the
+            # chunk: a mid-chunk keyframe insert can evict a slot and
+            # shift indices, so eviction tracks this holder (decrementing
+            # it on shifts and never choosing it as the victim)
+            self._chunk_ref = holder = [ref]
+            try:
+                for i in range(n_valid):
+                    self._commit(feats, pts, packed_np[i], holder[0],
+                                 index=i)
+            finally:
+                self._chunk_ref = None
             done += n_valid
         return self.metrics
 

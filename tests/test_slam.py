@@ -254,3 +254,34 @@ def test_slam_soak_ring_eviction_keeps_tracking_and_closing():
     est_r, est_t = slam.trajectory()
     assert len(est_r) == 100 and np.isfinite(est_t).all()
     assert any(ref == -1 for ref in slam.state.traj_ref)
+
+
+@pytest.mark.slow
+def test_chunked_run_survives_mid_chunk_eviction():
+    """Chunked tracking stays sound when evictions shift slots mid-chunk.
+
+    _run_chunked captures the reference keyframe's SLOT once per chunk;
+    an eviction inside the chunk shifts indices, so the holder must track
+    the shift (and the victim policy must never evict the in-flight
+    reference) or later frames of the chunk commit against the wrong
+    keyframe.
+    """
+    seq = planar_rgbd_sequence(n_frames=32, h=240, w=320, seed=13,
+                               motion_scale=1.0, depth_noise=0.01)
+    sift = SiftConfig(max_kpts=256, max_kpts_per_octave=256, num_octaves=3,
+                      upscale=False)
+    cfg = SlamConfig(max_keyframes=6, loop_temporal_gap=2,
+                     local_ba_window=3, checkpoint_every=0)
+    slam = Slam(seq.intr, sift_cfg=sift, slam_cfg=cfg)
+    recs = slam.run(zip(seq.images, seq.depths), chunk=4)
+
+    assert len(recs) == 32
+    assert slam.state.n_kf == cfg.max_keyframes
+    kfs = [r["frame"] for r in recs if r.get("keyframe")]
+    assert len(kfs) > cfg.max_keyframes, "evictions must have happened"
+    assert sum(r.get("tracked", True) for r in recs) >= 29
+    ate = slam.ate(seq.poses_r, seq.poses_t)
+    path = np.linalg.norm(np.diff(
+        -np.einsum("nij,ni->nj", seq.poses_r, seq.poses_t), axis=0),
+        axis=-1).sum()
+    assert ate < 0.10 * path, f"ATE {ate:.3f} vs path {path:.3f}"

@@ -296,6 +296,9 @@ class MonoVO:
         self.vo_cfg = vo_cfg
         self.pg_cfg = pg_cfg
         self.n_kf = 0
+        self.n_kf_total = 0   # keyframes ever inserted: monotonic (n_kf
+                              # pins at capacity once eviction starts);
+                              # the landmark-map recency epoch
         self.n_closures = 0
         self._kf_frame: list[int] = []   # frame index of each keyframe
         self._frame_ref: list[int] = []  # keyframe index each frame rides on
@@ -371,8 +374,8 @@ class MonoVO:
                 out.scale, self._scale,
                 self._dev_pose[0], self._dev_pose[1],
                 self._dev_rel[0], self._dev_rel[1],
-                self._lmap, jnp.int32(self.n_kf),
-                jnp.int32(self.n_kf - self.vo_cfg.map_active_kf),
+                self._lmap, jnp.int32(self.n_kf_total),
+                jnp.int32(self.n_kf_total - self.vo_cfg.map_active_kf),
                 jnp.int32(self.vo_cfg.map_min_inliers),
                 jnp.int32(self.vo_cfg.map_min_obs),
                 jnp.int32(self.vo_cfg.map_min_anchor),
@@ -592,6 +595,7 @@ class MonoVO:
             self._edges.append((i - 1, i, m_r, m_t, 1.0, 1.0))
         self._kf_frame.append(len(self.poses_r) - 1)
         self.n_kf = i + 1
+        self.n_kf_total += 1
         if self.vo_cfg.map_anchor:
             # triangulated (map-scale) depths of this keyframe become new
             # landmarks; slots that just localised against the map are
@@ -602,7 +606,8 @@ class MonoVO:
             self._lmap = insert_step(
                 self._lmap, f.desc, f.valid, f.response, f.x, f.y,
                 self.intr, self._depth, inl,
-                self._dev_pose[0], self._dev_pose[1], jnp.int32(i),
+                self._dev_pose[0], self._dev_pose[1],
+                jnp.int32(self.n_kf_total),
                 self.vo_cfg.map_insert_budget)
         return True
 

@@ -59,6 +59,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ba-window", type=int, default=0)
     ap.add_argument("--max-keyframes", type=int, default=96)
+    ap.add_argument("--frames", type=int, default=300)
+    ap.add_argument("--amplitude", type=float, default=6.0)
     ap.add_argument("--kf-evict", default="redundant")
     ap.add_argument("--ba-every", type=int, default=2)
     ap.add_argument("--ba-anchor", choices=("newest", "union"),
@@ -74,8 +76,9 @@ def main():
     ap.add_argument("--map-gain", type=float, default=0.4)
     args = ap.parse_args()
 
-    seq = two_plane_sequence(n_frames=300, h=240, w=320, seed=3,
-                             motion_scale=0.9, path="loop", amplitude=6.0)
+    seq = two_plane_sequence(n_frames=args.frames, h=240, w=320, seed=3,
+                             motion_scale=0.9, path="loop",
+                             amplitude=args.amplitude)
     vo_cfg = VOConfig(max_keyframes=args.max_keyframes,
                       kf_evict=args.kf_evict, kf_every=4, loop_temporal_gap=30,
                       loop_min_inliers=25, loop_min_score=0.05,

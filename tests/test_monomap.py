@@ -152,6 +152,32 @@ def test_refinement_folds_duplicate_matches_once():
     assert np.median(moved[d_nobs[:n] == 1]) < 0.05
 
 
+@pytest.mark.slow
+def test_map_anchor_survives_keyframe_ring_eviction():
+    """Map-anchored VO keeps tracking when the keyframe ring evicts.
+
+    Landmark `seen` epochs are keyframe indices that are deliberately NOT
+    remapped on eviction (they only feed a recency window); this drives
+    the combination end to end to show localisation and insertion stay
+    sound while slots churn.
+    """
+    seq = two_plane_sequence(n_frames=14, h=240, w=320, seed=3,
+                             near=3.0, far=6.0, motion_scale=0.6)
+    vo_cfg = VOConfig(max_keyframes=5, kf_every=2, map_anchor=True,
+                      map_size=2048, map_active_kf=8, map_insert_budget=256,
+                      map_min_inliers=15, map_min_obs=2, map_min_anchor=8,
+                      loop_temporal_gap=1000)
+    vo = MonoVO(seq.intr, sift_cfg=SIFT,
+                ransac_cfg=RansacConfig(inlier_thresh_epi=4e-3),
+                vo_cfg=vo_cfg)
+    est_r, est_t = vo.run(list(seq.images))
+    assert len(est_r) == 14
+    assert vo.n_kf == 5 and vo._kf_frame[-1] >= 10  # evictions happened
+    assert all(s["ok"] or s["pnp_ok"] for s in vo.stats)
+    assert sum(s["pnp_ok"] for s in vo.stats[3:]) >= 0.5 * len(vo.stats[3:])
+    assert np.isfinite(est_t).all()
+
+
 def test_insert_eviction_prefers_invalid_then_oldest():
     msize, n = 64, 32
     intr = jnp.asarray(np.array([200.0, 200.0, 160.0, 120.0], np.float32))

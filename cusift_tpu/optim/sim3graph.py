@@ -34,6 +34,8 @@ import jax.numpy as jnp
 
 from cusift_tpu.utils.precision import f32_matmuls
 
+from . import robust
+
 from ..config import PoseGraphConfig
 from .lie import so3_exp, so3_log
 
@@ -115,6 +117,20 @@ def cost(g: Sim3Graph, axis_name=None) -> jnp.ndarray:
     return jax.lax.psum(c, axis_name) if axis_name is not None else c
 
 
+def _edge_norms(g: Sim3Graph) -> jnp.ndarray:
+    r = _residuals(jnp.zeros((g.poses_r.shape[0], 7)), g)
+    return jnp.linalg.norm(r, axis=-1)
+
+
+def _robust_cost(g: Sim3Graph, delta: float, kernel: str,
+                 axis_name=None) -> jnp.ndarray:
+    """Robust cost on per-edge residual norms (delta <= 0: plain L2)."""
+    if delta <= 0:
+        return cost(g, axis_name)
+    c = jnp.sum(robust.rho(_edge_norms(g), delta, kernel))
+    return jax.lax.psum(c, axis_name) if axis_name is not None else c
+
+
 def _cg(matvec, b, iters: int):
     x = jnp.zeros_like(b)
     r = b
@@ -159,27 +175,39 @@ def lm_loop(g: Sim3Graph, cfg: PoseGraphConfig,
                                g.poses_s, g.poses_r, g.poses_t)
         return g._replace(poses_r=r, poses_t=t, poses_s=s)
 
+    delta = cfg.huber_delta
+
     def body(carry, _):
         g, lam, cur = carry
         zero = jnp.zeros((n, 7))
-        res0, vjp_fn = jax.vjp(lambda xi: _residuals(xi, g), zero)
+        if delta > 0:
+            # IRLS: linearise the reweighted problem at the current poses
+            # (sqrt-Huber weights), but evaluate acceptance on the true
+            # robust cost so the loop optimises one consistent objective
+            w_rob = robust.sqrt_weight(_edge_norms(g), delta,
+                                       cfg.robust_kernel)
+            g_it = g._replace(weight=g.weight * w_rob)
+        else:
+            g_it = g
+        res0, vjp_fn = jax.vjp(lambda xi: _residuals(xi, g_it), zero)
 
         def normal_mv(x):
             x = x * mask
-            _, jx = jax.jvp(lambda xi: _residuals(xi, g), (zero,), (x,))
+            _, jx = jax.jvp(lambda xi: _residuals(xi, g_it), (zero,), (x,))
             jtjx = psum_(vjp_fn(jx)[0])
             return (jtjx + lam * x) * mask
 
         b = -psum_(vjp_fn(res0)[0]) * mask
         dx = _cg(normal_mv, b, cfg.cg_iters) * mask
         cand = apply_xi(g, dx)
-        cnew = cost(cand, axis_name)
+        cnew = _robust_cost(cand, delta, cfg.robust_kernel,
+                             axis_name)
         accept = jnp.isfinite(cnew) & (cnew < cur)
         g2 = jax.tree.map(lambda a, b: jnp.where(accept, b, a), g, cand)
         lam2 = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e6)
         return (g2, lam2, jnp.where(accept, cnew, cur)), None
 
-    c0 = cost(g, axis_name)
+    c0 = _robust_cost(g, delta, cfg.robust_kernel, axis_name)
     init = (g, jnp.asarray(cfg.init_damping, jnp.float32), c0)
     (gf, _, cf), _ = jax.lax.scan(body, init, None, length=cfg.max_iters)
     return Sim3Result(poses_r=gf.poses_r, poses_t=gf.poses_t,

@@ -68,3 +68,35 @@ def test_perfect_graph_zero_cost(ring):
     trel = gt_t[i] - np.einsum("eab,eb->ea", rrel, gt_t[j])
     g = g._replace(meas_r=jnp.asarray(rrel), meas_t=jnp.asarray(trel))
     assert float(cost(g)) < 1e-8
+
+
+def test_robust_kernel_bounds_outlier_edge(ring):
+    """SE(3) variant of the Sim(3) outlier test: robust kernels keep a
+    garbage high-weight loop edge from dragging the solution below its
+    plain-solve quality."""
+    g = _graph(ring)
+    rng = np.random.default_rng(5)
+    bad_t = rng.normal(size=3) * 2.0
+    gi = g._replace(
+        edge_i=jnp.concatenate([g.edge_i, jnp.array([2], jnp.int32)]),
+        edge_j=jnp.concatenate([g.edge_j, jnp.array([12], jnp.int32)]),
+        meas_r=jnp.concatenate([g.meas_r, jnp.eye(3)[None]]),
+        meas_t=jnp.concatenate([g.meas_t,
+                                jnp.asarray(bad_t, jnp.float32)[None]]),
+        weight=jnp.concatenate([g.weight, jnp.array([2.0])]),
+    )
+
+    def err(res):
+        c = -np.einsum("nij,nj->ni",
+                       np.swapaxes(np.asarray(res.poses_r), 1, 2),
+                       np.asarray(res.poses_t))
+        cg = -np.einsum("nij,nj->ni", np.swapaxes(ring["gt_r"], 1, 2),
+                        ring["gt_t"])
+        return np.linalg.norm(c - cg, axis=-1).max()
+
+    e_clean = err(optimize(g, PoseGraphConfig(max_iters=20)))
+    e_l2 = err(optimize(gi, PoseGraphConfig(max_iters=20)))
+    e_tuk = err(optimize(gi, PoseGraphConfig(max_iters=20, huber_delta=1.0,
+                                             robust_kernel="tukey")))
+    assert e_l2 > 2.0 * e_clean, (e_l2, e_clean)
+    assert e_tuk < 2.0 * e_clean, (e_tuk, e_clean)

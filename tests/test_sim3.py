@@ -145,3 +145,62 @@ def test_se3_graph_cannot_absorb_scale_drift():
     res = se3_opt(g, PoseGraphConfig(max_iters=30, cg_iters=60))
     # SE(3) cannot represent the drift: the cost cannot approach zero
     assert float(res.cost) > 1e-2 * float(res.initial_cost)
+
+
+def test_robust_kernel_rejects_outlier_loop_edge():
+    """A wrong loop association must not hijack the Sim(3) solve.
+
+    Plain L2 lets one high-weight garbage edge (a false revisit claim)
+    drag the whole graph BELOW its initialisation quality; the IRLS
+    robust kernels bound its influence.  Measured orderings this test
+    pins (see BASELINE.md robust-kernel table): huber's linear tail
+    still lets the outlier pull (bounded but nonzero influence); tukey
+    at a scale between the TRUE loop edge's initial residual and the
+    outlier's redescends the outlier to exactly zero and lands at
+    clean-solve quality.  This is the 1000-frame mono soak failure:
+    corrected trajectory WORSE than raw under L2 once retrieval
+    confuses self-similar views.
+    """
+    gt_r, gt_t, er, et, ei, ej, mr, mt, ms = _drift_problem()
+    n = len(gt_r)
+    rng = np.random.default_rng(3)
+    bad_r, _ = (np.asarray(a) for a in
+                se3_exp(jnp.asarray(rng.normal(size=6) * 0.5)))
+    ei = np.concatenate([ei, [0]]).astype(np.int32)
+    ej = np.concatenate([ej, [n // 2]]).astype(np.int32)
+    mr = np.concatenate([mr, bad_r[None]])
+    mt = np.concatenate([mt, rng.normal(size=(1, 3)) * 0.8])
+    ms = np.concatenate([ms, [1.0]]).astype(np.float32)
+    w = np.ones(len(ei), np.float32)
+    w[-1] = 2.0          # loop-edge weight, like the production closures
+
+    err_init = np.linalg.norm(_centers(er, et) - _centers(gt_r, gt_t),
+                              axis=1).max()
+
+    def solve(delta, kernel="huber"):
+        g = Sim3Graph(
+            poses_r=jnp.asarray(er.astype(np.float32)),
+            poses_t=jnp.asarray(et.astype(np.float32)),
+            poses_s=jnp.ones(n, jnp.float32),
+            edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
+            meas_r=jnp.asarray(mr.astype(np.float32)),
+            meas_t=jnp.asarray(mt.astype(np.float32)),
+            meas_s=jnp.asarray(ms),
+            weight=jnp.asarray(w))
+        res = optimize(g, PoseGraphConfig(max_iters=30, cg_iters=60,
+                                          huber_delta=delta,
+                                          robust_kernel=kernel))
+        s = np.asarray(res.poses_s)
+        cr = np.asarray(res.poses_r)
+        ct = np.asarray(res.poses_t) / s[:, None]
+        err = np.linalg.norm(_centers(cr, ct) - _centers(gt_r, gt_t),
+                             axis=1).max()
+        return err, float(res.cost), float(res.initial_cost)
+
+    err_l2, _, _ = solve(0.0)
+    assert err_l2 > 2.0 * err_init, "the outlier must demonstrably hijack L2"
+    err_hub, c, c0 = solve(0.3, "huber")
+    assert c < c0
+    assert err_hub < 0.5 * err_l2, (err_hub, err_l2)
+    err_tuk, _, _ = solve(1.0, "tukey")
+    assert err_tuk < 0.3 * err_init, (err_tuk, err_init)

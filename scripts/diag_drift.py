@@ -62,6 +62,8 @@ def main():
     ap.add_argument("--frames", type=int, default=300)
     ap.add_argument("--amplitude", type=float, default=6.0)
     ap.add_argument("--kf-evict", default="redundant")
+    ap.add_argument("--huber", type=float, default=0.0)
+    ap.add_argument("--kernel", default="huber")
     ap.add_argument("--ba-every", type=int, default=2)
     ap.add_argument("--ba-anchor", choices=("newest", "union"),
                     default="newest",
@@ -89,7 +91,10 @@ def main():
                       map_min_obs=args.map_min_obs,
                       map_min_anchor=args.map_min_anchor,
                       map_scale_gain=args.map_gain)
-    vo = MonoVO(seq.intr, sift_cfg=SIFT, vo_cfg=vo_cfg,
+    from cusift_tpu.config import PoseGraphConfig
+    pg_cfg = PoseGraphConfig(huber_delta=args.huber,
+                             robust_kernel=args.kernel)
+    vo = MonoVO(seq.intr, sift_cfg=SIFT, vo_cfg=vo_cfg, pg_cfg=pg_cfg,
                 ba_window=args.ba_window, ba_every=args.ba_every,
                 ba_anchor=args.ba_anchor)
     er, et = vo.run(iter(seq.images))

@@ -327,6 +327,14 @@ class VOConfig:
     # keyframe just inherit the previous keyframe's correction (no pose
     # baking); Sim(3) odometry edges through the victim compose exactly.
     kf_evict: str = "redundant"     # "redundant" | "oldest" | "none"
+    # tracking reference: "prev" chains every consecutive pair (the
+    # round-2/3 baseline), "keyframe" tracks each frame against the last
+    # KEYFRAME — per-pair baseline grows ~kf_every-fold (attacking the
+    # sub-SNR parallax regime that binds the synthetic soaks) and the
+    # multiplicative scale chain steps once per KEYFRAME instead of once
+    # per frame.  "keyframe" is mutually exclusive with map_anchor (the
+    # map localiser's device pose state assumes prev-frame relatives).
+    track_ref: str = "prev"
     # persistent-map scale anchoring (models/monomap.py): localise every
     # frame against a landmark map with PnP RANSAC instead of trusting the
     # per-pair depth-ratio scale chain (whose coherent error random-walks

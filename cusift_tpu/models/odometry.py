@@ -304,6 +304,15 @@ class MonoVO:
         self._frame_ref: list[int] = []  # keyframe index each frame rides on
         self._ema_step = 0.0             # smoothed per-pair |t| (global units)
         if vo_cfg is not None:
+            assert not (vo_cfg.map_anchor and vo_cfg.track_ref == "keyframe"), \
+                "map_anchor assumes prev-frame relatives (VOConfig.track_ref)"
+            # keyframe-referenced tracking state: the pair step's A side
+            # (features, global depths, raw pose) frozen at the last
+            # keyframe; self._feats stays "current frame" for the
+            # keyframe/loop machinery
+            self._ref_feats = None
+            self._ref_depth = None
+            self._ref_pose = None
             kf, n = vo_cfg.max_keyframes, sift_cfg.total_kpts
             self._kf_desc = jnp.zeros((kf, n, 128), jnp.float32)
             self._kf_valid = jnp.zeros((kf, n), bool)
@@ -351,11 +360,16 @@ class MonoVO:
                 self._frame_ref.append(0)
             return None
         self._key, sub = jax.random.split(self._key)
-        fa = self._feats
+        kf_ref = (self.vo_cfg is not None
+                  and self.vo_cfg.track_ref == "keyframe")
+        if kf_ref:
+            fa, depth_a = self._ref_feats, self._ref_depth
+        else:
+            fa, depth_a = self._feats, self._depth
         content = (jnp.asarray(self._content)
                    if self._content is not None else None)
         out = pair_step(fa.desc, fa.valid, jnp.stack([fa.x, fa.y], -1),
-                        self._depth, dimg, self.intr, self._scale,
+                        depth_a, dimg, self.intr, self._scale,
                         self.sift_cfg, self.match_cfg, self.ransac_cfg, sub,
                         content)
         map_mode = self.vo_cfg is not None and self.vo_cfg.map_anchor
@@ -416,24 +430,52 @@ class MonoVO:
             r_rel = packed[:9].reshape(3, 3)
             t_rel = packed[9:12]
             scale, n_inl, n_common, ok = packed[12:16]
-            if ok < 0.5:
-                r_rel, t_rel = self._last_rel  # constant-velocity fallback
-            else:
-                self._last_rel = (r_rel, t_rel)
-                self._scale = jnp.float32(scale)
             r_prev, t_prev = self.poses_r[-1], self.poses_t[-1]
-            self.poses_r.append((r_rel @ r_prev).astype(np.float32))
-            self.poses_t.append((r_rel @ t_prev + t_rel).astype(np.float32))
-            # depths triangulated from a REJECTED essential model are
-            # garbage: zero the carried chain so the scale re-anchors from
-            # the next successful pair instead of chaining through the bad
-            # model, and keep the frame's BA observations masked out too
-            self._depth = (out.depth if ok > 0.5
-                           else jnp.zeros_like(out.depth))
+            if kf_ref:
+                # rel measures ref(keyframe) -> cur; compose onto the
+                # REFERENCE pose and derive the frame-to-frame relative
+                # for the constant-velocity fallback
+                if ok < 0.5:
+                    r_fr, t_fr = self._last_rel
+                    r_new = (r_fr @ r_prev).astype(np.float32)
+                    t_new = (r_fr @ t_prev + t_fr).astype(np.float32)
+                else:
+                    ref_r, ref_t = self._ref_pose
+                    r_new = (r_rel @ ref_r).astype(np.float32)
+                    t_new = (r_rel @ ref_t + t_rel).astype(np.float32)
+                    r_fr = r_new @ r_prev.T
+                    self._last_rel = (r_fr, t_new - r_fr @ t_prev)
+                    self._scale = jnp.float32(scale)
+                self.poses_r.append(r_new)
+                self.poses_t.append(t_new)
+                # the REFERENCE's depth chain is trusted regardless of this
+                # pair's outcome; the CURRENT frame's depths (vs-ref
+                # triangulation, wide parallax) feed the keyframe/loop
+                # machinery and the BA ring only when the pair held
+                self._depth = (out.depth if ok > 0.5
+                               else jnp.zeros_like(out.depth))
+            else:
+                if ok < 0.5:
+                    r_rel, t_rel = self._last_rel  # constant-velocity
+                else:
+                    self._last_rel = (r_rel, t_rel)
+                    self._scale = jnp.float32(scale)
+                self.poses_r.append((r_rel @ r_prev).astype(np.float32))
+                self.poses_t.append(
+                    (r_rel @ t_prev + t_rel).astype(np.float32))
+                # depths triangulated from a REJECTED essential model are
+                # garbage: zero the carried chain so the scale re-anchors
+                # from the next successful pair instead of chaining through
+                # the bad model, and keep the frame's BA observations
+                # masked out too
+                self._depth = (out.depth if ok > 0.5
+                               else jnp.zeros_like(out.depth))
             ring_entry = (out.feats.desc,
                           out.feats.valid & (out.depth > 1e-6)
                           & jnp.bool_(ok > 0.5), out.pts)
-        step = float(np.linalg.norm(t_rel))
+        # per-FRAME step: in keyframe-referenced mode t_rel spans ref->cur,
+        # so the smoothed step must read the frame-to-frame relative
+        step = float(np.linalg.norm(self._last_rel[1] if kf_ref else t_rel))
         self._ema_step = (step if self._ema_step == 0.0
                           else 0.8 * self._ema_step + 0.2 * step)
         self._feats = out.feats
@@ -446,7 +488,12 @@ class MonoVO:
         loop = False
         if self.vo_cfg is not None:
             self._frame_ref.append(max(self.n_kf - 1, 0))
-            loop = self._maybe_keyframe()
+            # keyframe-referenced mode never promotes a failed frame: the
+            # promoted frame becomes the next tracking reference, and a
+            # constant-velocity pose with zeroed depths would poison every
+            # pair until the following promotion
+            if not kf_ref or ok >= 0.5:
+                loop = self._maybe_keyframe()
         stat = dict(inliers=int(n_inl), scale=float(scale),
                     scale_common=int(n_common), ok=bool(ok > 0.5),
                     pnp_inliers=pnp_inl, pnp_ok=pnp_ok,
@@ -609,6 +656,19 @@ class MonoVO:
                 self._dev_pose[0], self._dev_pose[1],
                 jnp.int32(self.n_kf_total),
                 self.vo_cfg.map_insert_budget)
+        if self.vo_cfg.track_ref == "keyframe":
+            # the promoted frame becomes the tracking reference: its
+            # features, global-scale depths, and raw pose freeze as the
+            # pair step's A side until the next promotion
+            self._ref_feats = f
+            self._ref_depth = self._depth
+            self._ref_pose = (np.array(r_new), np.array(t_new))
+            # the next pair spans ONE frame from the fresh reference: seed
+            # the smooth-motion scale clamp with the per-frame step, not
+            # the wide ref->cur scale it just left (1.0 at bootstrap = the
+            # |t01| = 1 global anchor)
+            self._scale = jnp.float32(self._ema_step
+                                      if self._ema_step > 0 else 1.0)
         return True
 
     def _maybe_keyframe(self) -> bool:
@@ -617,6 +677,15 @@ class MonoVO:
         if self.n_kf == 0:
             self._insert_keyframe()
             return False
+        if cfg.track_ref == "keyframe" and self.n_kf == 1:
+            # force the SECOND keyframe on the first tracked frame: until
+            # the reference carries triangulated depth, every pair's scale
+            # rides the |t|=1 anchor and cannot measure the growing
+            # ref->cur baseline
+            if not self._insert_keyframe():
+                return False
+            self._frame_ref[-1] = self.n_kf - 1
+            return self._try_loop_closure()
         last = self._kf_frame[-1]
         cur = len(self.poses_r) - 1
         r_kf, t_kf = self._kf_pose_r[self.n_kf - 1], \

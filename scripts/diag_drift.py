@@ -64,6 +64,7 @@ def main():
     ap.add_argument("--kf-evict", default="redundant")
     ap.add_argument("--huber", type=float, default=0.0)
     ap.add_argument("--kernel", default="huber")
+    ap.add_argument("--track-ref", default="prev", choices=("prev", "keyframe"))
     ap.add_argument("--ba-every", type=int, default=2)
     ap.add_argument("--ba-anchor", choices=("newest", "union"),
                     default="newest",
@@ -82,7 +83,8 @@ def main():
                              motion_scale=0.9, path="loop",
                              amplitude=args.amplitude)
     vo_cfg = VOConfig(max_keyframes=args.max_keyframes,
-                      kf_evict=args.kf_evict, kf_every=4, loop_temporal_gap=30,
+                      kf_evict=args.kf_evict, track_ref=args.track_ref,
+                      kf_every=4, loop_temporal_gap=30,
                       loop_min_inliers=25, loop_min_score=0.05,
                       loop_min_common=8, map_anchor=args.map_anchor,
                       map_size=4096, map_insert_budget=256,

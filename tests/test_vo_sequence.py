@@ -187,3 +187,27 @@ def test_mono_remove_keyframe_slot_splices_sim3_edges():
     # ring pose arrays shifted
     np.testing.assert_allclose(vo._kf_pose_r[2], poses[3][0], atol=1e-6)
     np.testing.assert_allclose(vo._kf_pose_t[3], poses[4][1], atol=1e-6)
+
+
+def test_keyframe_referenced_tracking_mode():
+    """track_ref="keyframe": frames track the last keyframe, not the
+    previous frame — the pair baseline grows ~kf_every-fold and the scale
+    chain steps once per keyframe.  Ships opt-in: measured ~parity with
+    the prev-frame chain on the synthetic soaks (BASELINE.md), where the
+    wider baseline's parallax gain is offset by reduced match overlap."""
+    seq = two_plane_sequence(n_frames=16, h=240, w=320, seed=3,
+                             motion_scale=0.9, path="loop", amplitude=6.0)
+    vo_cfg = VOConfig(track_ref="keyframe", kf_every=4,
+                      loop_temporal_gap=100)
+    vo = MonoVO(seq.intr, sift_cfg=SIFT, vo_cfg=vo_cfg)
+    er, et = vo.run(iter(seq.images))
+    assert len(er) == 16
+    n_ok = sum(1 for s in vo.stats if s["ok"])
+    assert n_ok >= 0.85 * len(vo.stats)
+    # the second keyframe is forced on the first tracked frame (the
+    # reference needs depth before scale is measurable)
+    assert vo._kf_frame[0] == 0 and vo._kf_frame[1] == 1
+    ate = ate_rmse(er, et, seq.poses_r, seq.poses_t, with_scale=True)
+    path = trajectory_path_length(seq.poses_r, seq.poses_t)[-1]
+    assert ate < 0.2 * path, (ate, path)
+    assert np.isfinite(et).all()

@@ -218,8 +218,15 @@ def cmd_odo(args):
                 ba_anchor=args.ba_anchor,
                 pad_to_tier=args.tier_pad,
                 vo_cfg=vo_cfg, dist_ba=args.dist)
+    if args.resume:
+        vo.restore(args.resume)
+        print(f"resumed from {args.resume} "
+              f"({len(vo.poses_r)} frames already tracked)")
     t0 = time.time()
     est_r, est_t = vo.run(frames, max_frames=args.frames or None)
+    if args.save:
+        vo.checkpoint(args.save)
+        print(f"state checkpointed to {args.save}")
     dt = time.time() - t0
     n_frames = len(est_r)
     ok = sum(1 for s in vo.stats if s["ok"])
@@ -230,6 +237,12 @@ def cmd_odo(args):
     print(f"processed {n_frames} frames in {dt:.1f}s "
           f"({n_frames / dt:.2f} frames/s incl. compile); "
           f"{ok}/{len(vo.stats)} pairs tracked{extra}")
+    if gt is not None and n_frames > len(gt[0]):
+        # a resumed run's trajectory spans more frames than the ground
+        # truth fed this invocation; a frame-aligned comparison would lie
+        print(f"skipping gt metrics: {n_frames} estimated frames vs "
+              f"{len(gt[0])} ground-truth poses (resumed run?)")
+        gt = None
     if gt is not None:
         from .data.evaluation import camera_centers, horn_align, \
             trajectory_path_length
@@ -374,6 +387,8 @@ def main(argv=None):
     o.add_argument("--kf-evict", choices=("redundant", "oldest", "none"),
                    default="redundant",
                    help="keyframe eviction policy once the ring is full")
+    o.add_argument("--save", help="checkpoint VO state to this npz at end")
+    o.add_argument("--resume", help="restore VO state from this npz first")
     o.add_argument("--dist", action="store_true",
                    help="shard the windowed-BA Schur solve over every "
                         "device's map axis (needs --ba-window and >1 "

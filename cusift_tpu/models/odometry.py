@@ -860,6 +860,120 @@ class MonoVO:
             self._dev_pose = (jnp.asarray(self.poses_r[-1]),
                               jnp.asarray(self.poses_t[-1]))
 
+    # ---------- checkpoint / resume (SURVEY.md §5.4, configs[4] path) ----
+
+    def checkpoint(self, path: str):
+        """Serialise the full tracking state to one npz (mid-run restart).
+
+        Mirrors models/slam.py: everything the chain needs to continue —
+        current-frame features + global depths, scale state, keyframe
+        ring, pose-graph edges, Sim(3) correction, BA ring — lands in one
+        file; `stats` is metrics, not state, and is not saved.
+        """
+        d = dict(
+            poses_r=np.stack(self.poses_r), poses_t=np.stack(self.poses_t),
+            scale=np.float32(self._scale),
+            last_rel_r=self._last_rel[0], last_rel_t=self._last_rel[1],
+            ema_step=np.float32(self._ema_step),
+            key=np.asarray(self._key),
+            depth=np.asarray(self._depth),
+            feats=np.concatenate([np.asarray(f, np.float32).reshape(
+                len(self._feats.x), -1) for f in self._feats], axis=-1),
+            ring_n=len(self._ring),
+        )
+        for k, (rd, rv, rp) in enumerate(self._ring):
+            d[f"ring_desc_{k}"] = np.asarray(rd)
+            d[f"ring_valid_{k}"] = np.asarray(rv)
+            d[f"ring_pts_{k}"] = np.asarray(rp)
+        if self.vo_cfg is not None:
+            e = self._edges
+            d.update(
+                n_kf=self.n_kf, n_kf_total=self.n_kf_total,
+                n_closures=self.n_closures,
+                kf_frame=np.array(self._kf_frame, np.int32),
+                frame_ref=np.array(self._frame_ref, np.int32),
+                kf_desc=np.asarray(self._kf_desc),
+                kf_valid=np.asarray(self._kf_valid),
+                kf_xyn=np.asarray(self._kf_xyn),
+                kf_depth=np.asarray(self._kf_depth),
+                edge_i=np.array([x[0] for x in e], np.int32),
+                edge_j=np.array([x[1] for x in e], np.int32),
+                edge_r=(np.stack([x[2] for x in e])
+                        if e else np.zeros((0, 3, 3), np.float32)),
+                edge_t=(np.stack([x[3] for x in e])
+                        if e else np.zeros((0, 3), np.float32)),
+                edge_s=np.array([x[4] for x in e], np.float32),
+                edge_w=np.array([x[5] for x in e], np.float32),
+            )
+            if getattr(self, "_kf_pose_r", None) is not None:
+                d["kf_pose_r"] = self._kf_pose_r
+                d["kf_pose_t"] = self._kf_pose_t
+            if getattr(self, "_corr", None) is not None:
+                d["corr_r"], d["corr_t"], d["corr_s"] = self._corr
+            if self._ref_feats is not None:
+                d["ref_feats"] = np.concatenate(
+                    [np.asarray(f, np.float32).reshape(
+                        len(self._ref_feats.x), -1)
+                     for f in self._ref_feats], axis=-1)
+                d["ref_depth"] = np.asarray(self._ref_depth)
+                d["ref_pose_r"], d["ref_pose_t"] = self._ref_pose
+        np.savez_compressed(path, **d)
+
+    @staticmethod
+    def _unpack_feats(flat: np.ndarray) -> SiftFeatures:
+        cols = np.split(flat, [1, 2, 3, 4, 5, 6, 7, 135], axis=-1)
+        x, y, sig, ori, resp, edg, octv, desc, valid = cols
+        return SiftFeatures(
+            x=jnp.asarray(x[:, 0]), y=jnp.asarray(y[:, 0]),
+            sigma=jnp.asarray(sig[:, 0]),
+            orientation=jnp.asarray(ori[:, 0]),
+            response=jnp.asarray(resp[:, 0]),
+            edgeness=jnp.asarray(edg[:, 0]),
+            octave=jnp.asarray(octv[:, 0].astype(np.int32)),
+            desc=jnp.asarray(desc),
+            valid=jnp.asarray(valid[:, 0] > 0.5))
+
+    def restore(self, path: str):
+        """Restore a `checkpoint` into this (identically-configured) VO."""
+        z = np.load(path)
+        self.poses_r = [r for r in z["poses_r"]]
+        self.poses_t = [t for t in z["poses_t"]]
+        self._scale = jnp.float32(z["scale"])
+        self._last_rel = (z["last_rel_r"], z["last_rel_t"])
+        self._ema_step = float(z["ema_step"])
+        self._key = jnp.asarray(z["key"])
+        self._depth = jnp.asarray(z["depth"])
+        self._feats = self._unpack_feats(z["feats"])
+        self._ring = [(jnp.asarray(z[f"ring_desc_{k}"]),
+                       jnp.asarray(z[f"ring_valid_{k}"]),
+                       jnp.asarray(z[f"ring_pts_{k}"]))
+                      for k in range(int(z["ring_n"]))]
+        if self.vo_cfg is not None:
+            self.n_kf = int(z["n_kf"])
+            self.n_kf_total = int(z["n_kf_total"])
+            self.n_closures = int(z["n_closures"])
+            self._kf_frame = [int(v) for v in z["kf_frame"]]
+            self._frame_ref = [int(v) for v in z["frame_ref"]]
+            self._kf_desc = jnp.asarray(z["kf_desc"])
+            self._kf_valid = jnp.asarray(z["kf_valid"])
+            self._kf_xyn = jnp.asarray(z["kf_xyn"])
+            self._kf_depth = jnp.asarray(z["kf_depth"])
+            self._edges = [(int(i), int(j), r, t, float(s), float(w))
+                           for i, j, r, t, s, w in zip(
+                               z["edge_i"], z["edge_j"], z["edge_r"],
+                               z["edge_t"], z["edge_s"], z["edge_w"])]
+            if "kf_pose_r" in z:
+                self._kf_pose_r = np.array(z["kf_pose_r"])
+                self._kf_pose_t = np.array(z["kf_pose_t"])
+            if "corr_r" in z:
+                self._corr = (np.array(z["corr_r"]), np.array(z["corr_t"]),
+                              np.array(z["corr_s"]))
+            if "ref_feats" in z:
+                self._ref_feats = self._unpack_feats(z["ref_feats"])
+                self._ref_depth = jnp.asarray(z["ref_depth"])
+                self._ref_pose = (np.array(z["ref_pose_r"]),
+                                  np.array(z["ref_pose_t"]))
+
     def run(self, frames, max_frames: int | None = None) -> tuple:
         for i, img in enumerate(frames):
             if max_frames is not None and i >= max_frames:

@@ -157,3 +157,39 @@ def test_kitti_drift_detects_scale_error(seq):
     t_pc, _ = kitti_drift(seq.poses_r, est_t, seq.poses_r, seq.poses_t,
                           lengths=(0.1, 0.2), step=1)
     assert 10.0 < t_pc < 35.0
+
+
+def test_mono_checkpoint_resume_equivalence(tmp_path):
+    """Restoring a mid-run checkpoint reproduces the uninterrupted run.
+
+    Mirrors the SLAM resume-equivalence test (SURVEY.md §5.4): state
+    includes the current-frame features + depth chain, PRNG key, scale
+    state, BA ring, keyframe ring, and pose-graph edges, so the resumed
+    VO's remaining trajectory must match the uninterrupted one exactly.
+    """
+    from cusift_tpu.config import VOConfig
+
+    sift = SiftConfig(max_kpts=256, max_kpts_per_octave=192, num_octaves=3)
+    seq = two_plane_sequence(n_frames=10, h=240, w=320, seed=9,
+                             motion_scale=0.7, amplitude=2.0)
+    vo_cfg = VOConfig(max_keyframes=16, kf_every=2, loop_temporal_gap=50)
+
+    full = MonoVO(seq.intr, sift_cfg=sift, vo_cfg=vo_cfg, ba_window=4)
+    for img in seq.images[:6]:
+        full.process(img)
+    ckpt = str(tmp_path / "vo.npz")
+    full.checkpoint(ckpt)
+    for img in seq.images[6:]:
+        full.process(img)
+    er_a, et_a = full.trajectory()
+
+    resumed = MonoVO(seq.intr, sift_cfg=sift, vo_cfg=vo_cfg, ba_window=4)
+    resumed.restore(ckpt)
+    assert resumed.n_kf == 3 or resumed.n_kf >= 2
+    for img in seq.images[6:]:
+        resumed.process(img)
+    er_b, et_b = resumed.trajectory()
+
+    assert len(er_b) == len(er_a)
+    np.testing.assert_allclose(et_b, et_a, atol=1e-5)
+    np.testing.assert_allclose(er_b, er_a, atol=1e-5)

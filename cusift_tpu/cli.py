@@ -150,6 +150,71 @@ def cmd_slam(args):
               f"written to {args.save_trajectory}")
 
 
+def cmd_stereo(args):
+    """Stereo SLAM (BASELINE configs[4] geometry: KITTI supplies stereo).
+
+    Rectified pairs give METRIC per-feature depth (ops/stereo.py), so the
+    full RGB-D backend runs at true scale — no Sim(3) layer, no scale
+    alignment in the metrics.
+    """
+    from .config import RansacConfig, SiftConfig, SlamConfig
+    from .data import kitti as kitti_mod
+    from .data.evaluation import ate_rmse, kitti_drift
+    from .data.synthetic import two_plane_stereo_sequence
+    from .models.stereo import StereoSlam
+
+    gt = None
+    if args.kitti:
+        if not kitti_mod.stereo_available(args.kitti):
+            sys.exit(f"KITTI stereo pair not found at {args.kitti}")
+        intr = kitti_mod.load_calib(args.kitti)
+        baseline = args.baseline or kitti_mod.load_baseline(args.kitti)
+        frames = kitti_mod.load_stereo(args.kitti,
+                                       max_frames=args.frames or None)
+        if args.poses:
+            poses = kitti_mod.load_poses(args.poses)
+            gt = (np.stack([p[0] for p in poses]),
+                  np.stack([p[1] for p in poses]))
+    else:
+        n = args.synthetic or 8
+        print("no dataset given; using a synthetic stereo two-plane scene")
+        seq = two_plane_stereo_sequence(n_frames=n, h=240, w=320, seed=0,
+                                        motion_scale=0.7, amplitude=2.0)
+        intr = seq.intr
+        baseline = args.baseline or seq.baseline
+        frames = zip(seq.images_l, seq.images_r)
+        gt = (seq.poses_r, seq.poses_t)
+
+    slam = StereoSlam(
+        intr, baseline,
+        sift_cfg=SiftConfig(max_kpts=args.max_kpts,
+                            max_kpts_per_octave=args.max_kpts // 2),
+        ransac_cfg=RansacConfig(inlier_thresh_3d=0.05),
+        slam_cfg=SlamConfig(kf_evict=args.kf_evict))
+    t0 = time.time()
+    recs = slam.run(frames, max_frames=args.frames or None)
+    dt = time.time() - t0
+    est_r, est_t = slam.trajectory()
+    print(f"processed {len(recs)} frames in {dt:.1f}s "
+          f"({len(recs) / dt:.2f} frames/s incl. compile); "
+          f"{slam.state.n_kf} keyframes, {slam.state.n_closures} closures, "
+          f"baseline {baseline:.3f} m")
+    if gt is not None:
+        n_f = len(est_r)
+        gt_r, gt_t = gt[0][:n_f], gt[1][:n_f]
+        ate = ate_rmse(est_r, est_t, gt_r, gt_t)   # METRIC: no scale fit
+        print(f"metric ATE RMSE {ate:.4f} m")
+        t_pc, r_pc = kitti_drift(est_r, est_t, gt_r, gt_t)
+        if np.isfinite(t_pc):
+            print(f"KITTI drift: {t_pc:.2f} % translation, "
+                  f"{r_pc:.4f} deg/m rotation")
+    if args.save_trajectory:
+        np.savetxt(args.save_trajectory, np.concatenate(
+            [np.asarray(est_r).reshape(len(est_r), 9),
+             np.asarray(est_t)], -1))
+        print(f"trajectory written to {args.save_trajectory}")
+
+
 def cmd_sfm(args):
     from .config import BAConfig, RansacConfig, SiftConfig
     from .data.evaluation import ate_rmse
@@ -398,6 +463,22 @@ def main(argv=None):
                         "resolutions share compiled programs")
     o.add_argument("--save-trajectory")
     o.set_defaults(fn=cmd_odo)
+
+    st = sub.add_parser("stereo", help="stereo SLAM/odometry "
+                        "(rectified pairs; metric scale)")
+    st.add_argument("--kitti", help="KITTI sequence directory "
+                    "(needs image_0 + image_1)")
+    st.add_argument("--poses", help="KITTI ground-truth pose file")
+    st.add_argument("--synthetic", type=int, help="use N synthetic frames")
+    st.add_argument("--frames", type=int, default=0)
+    st.add_argument("--max-kpts", type=int, default=1024)
+    st.add_argument("--baseline", type=float, default=0.0,
+                    help="rig baseline in metres (read from KITTI calib "
+                         "P1 when --kitti is given)")
+    st.add_argument("--kf-evict", choices=("redundant", "oldest", "none"),
+                    default="redundant")
+    st.add_argument("--save-trajectory")
+    st.set_defaults(fn=cmd_stereo)
 
     f = sub.add_parser("sfm", help="small incremental SfM + BA")
     f.add_argument("--synthetic", type=int)

@@ -28,15 +28,46 @@ def load_calib(seq_dir: str) -> np.ndarray:
     raise ValueError("no P0 in calib.txt")
 
 
+def stereo_available(seq_dir: str) -> bool:
+    return (os.path.isdir(os.path.join(seq_dir, "image_0"))
+            and os.path.isdir(os.path.join(seq_dir, "image_1")))
+
+
+def load_baseline(seq_dir: str) -> float:
+    """Rectified rig baseline in metres: b = -P1[0,3] / P1[0,0].
+
+    KITTI's grayscale right camera P1 encodes the baseline as
+    P1[0,3] = -fx * b (projection of the rectified right camera).
+    """
+    with open(os.path.join(seq_dir, "calib.txt")) as f:
+        for line in f:
+            if line.startswith("P1:"):
+                p = np.fromstring(line[3:], sep=" ").reshape(3, 4)
+                return float(-p[0, 3] / p[0, 0])
+    raise ValueError("no P1 in calib.txt")
+
+
+def load_stereo(seq_dir: str, max_frames: int | None = None,
+                stride: int = 1,
+                use_native: bool = True) -> Iterator[tuple]:
+    """(left, right) grayscale frame pairs in [0, 1] (image_0/image_1)."""
+    left = load_images(seq_dir, max_frames, stride, use_native,
+                       camera="image_0")
+    right = load_images(seq_dir, max_frames, stride, use_native,
+                        camera="image_1")
+    yield from zip(left, right)
+
+
 def load_images(seq_dir: str, max_frames: int | None = None,
                 stride: int = 1,
-                use_native: bool = True) -> Iterator[np.ndarray]:
-    """Grayscale left-camera frames in [0, 1].
+                use_native: bool = True,
+                camera: str = "image_0") -> Iterator[np.ndarray]:
+    """Grayscale frames of one camera in [0, 1].
 
     Uses the native threaded PNG prefetcher when available (see
     data/tum.py:load_tum), OpenCV otherwise.
     """
-    d = os.path.join(seq_dir, "image_0")
+    d = os.path.join(seq_dir, camera)
     names = sorted(os.listdir(d))[::stride]
     if max_frames:
         names = names[:max_frames]

@@ -207,54 +207,10 @@ def two_plane_sequence(n_frames: int = 8, h: int = 480, w: int = 640,
     blur_set = set(int(b) for b in blur_frames)
     images, depths, rots, trans, stamps = [], [], [], [], []
     for f in range(n_frames):
-        s = f / max(n_frames - 1, 1)
-        if path == "loop":
-            # closed circuit: every component returns to 0 at s = 1, with a
-            # far excursion mid-sequence (sin(pi s)^2 envelope) plus gentle
-            # in-loop wiggle so consecutive pairs keep parallax
-            env = np.sin(np.pi * s) ** 2
-            xi = np.array([
-                0.70 * env * motion_scale,                        # tx out
-                0.05 * np.sin(2 * np.pi * s) * motion_scale,      # ty
-                0.35 * np.sin(2 * np.pi * s) * motion_scale,      # tz circuit
-                0.02 * np.sin(2 * np.pi * s) * motion_scale,
-                0.08 * env * motion_scale,
-                0.02 * np.sin(4 * np.pi * s) * motion_scale,
-            ])
-        else:
-            xi = np.array([
-                0.50 * s * motion_scale,                      # dominant sideways
-                0.06 * np.sin(2 * np.pi * s) * motion_scale,  # ty
-                0.25 * s * motion_scale,                      # forward
-                0.02 * np.sin(2 * np.pi * s) * motion_scale,
-                0.05 * s * motion_scale,
-                0.02 * np.sin(4 * np.pi * s) * motion_scale,
-            ])
-        xi[:3] *= amplitude
-        r_wc, t_wc = (np.asarray(a) for a in se3_exp(xi))
-
-        uu, vv = np.meshgrid(np.arange(w), np.arange(h))
-        rays = np.stack([(uu - cx) / fx, (vv - cy) / fy,
-                         np.ones_like(uu, np.float64)], -1)
-        n_c = r_wc @ n_w
-        img_f = np.zeros((h, w), np.float32)
-        depth_f = np.zeros((h, w), np.float64)
-        hit_x = np.full((h, w), np.nan)
-        for plane_d, side in ((near, -1), (far, +1)):
-            h_mat = k @ (r_wc + np.outer(t_wc, n_w) / plane_d) @ k_inv
-            warp = cv2.warpPerspective(tex[side], h_mat, (w, h),
-                                       flags=cv2.INTER_LINEAR,
-                                       borderMode=cv2.BORDER_REFLECT_101)
-            d_c = plane_d + n_c @ t_wc
-            denom = rays @ n_c
-            z = np.where(np.abs(denom) > 1e-9, d_c / denom, 0.0)
-            # world x of the intersection decides which plane owns the pixel
-            cam_pts = rays * z[..., None]
-            world = (cam_pts - t_wc) @ r_wc          # R^T (X_c - t)
-            own = (world[..., 0] * side >= 0) & (z > 0.05)
-            img_f = np.where(own, warp, img_f)
-            depth_f = np.where(own, z, depth_f)
-            hit_x = np.where(own, world[..., 0], hit_x)
+        r_wc, t_wc = _two_plane_pose(f, n_frames, path, motion_scale,
+                                     amplitude)
+        img_f, depth_f = _two_plane_render(r_wc, t_wc, tex, intr, h, w,
+                                           near, far)
         if f in blur_set:
             img_f = cv2.GaussianBlur(img_f.astype(np.float32), (0, 0),
                                      blur_sigma)
@@ -267,6 +223,120 @@ def two_plane_sequence(n_frames: int = 8, h: int = 480, w: int = 640,
                         poses_r=np.stack(rots).astype(np.float32),
                         poses_t=np.stack(trans).astype(np.float32),
                         intr=intr, timestamps=np.array(stamps))
+
+
+def _two_plane_pose(f: int, n_frames: int, path: str, motion_scale: float,
+                    amplitude: float):
+    """World-to-camera pose of frame f on the sweep/loop trajectory."""
+    s = f / max(n_frames - 1, 1)
+    if path == "loop":
+        # closed circuit: every component returns to 0 at s = 1, with a
+        # far excursion mid-sequence (sin(pi s)^2 envelope) plus gentle
+        # in-loop wiggle so consecutive pairs keep parallax
+        env = np.sin(np.pi * s) ** 2
+        xi = np.array([
+            0.70 * env * motion_scale,                        # tx out
+            0.05 * np.sin(2 * np.pi * s) * motion_scale,      # ty
+            0.35 * np.sin(2 * np.pi * s) * motion_scale,      # tz circuit
+            0.02 * np.sin(2 * np.pi * s) * motion_scale,
+            0.08 * env * motion_scale,
+            0.02 * np.sin(4 * np.pi * s) * motion_scale,
+        ])
+    else:
+        xi = np.array([
+            0.50 * s * motion_scale,                      # dominant sideways
+            0.06 * np.sin(2 * np.pi * s) * motion_scale,  # ty
+            0.25 * s * motion_scale,                      # forward
+            0.02 * np.sin(2 * np.pi * s) * motion_scale,
+            0.05 * s * motion_scale,
+            0.02 * np.sin(4 * np.pi * s) * motion_scale,
+        ])
+    xi[:3] *= amplitude
+    return tuple(np.asarray(a) for a in se3_exp(xi))
+
+
+def _two_plane_render(r_wc, t_wc, tex, intr, h, w, near, far):
+    """Render the two-plane world from one world-to-camera pose."""
+    import cv2
+    fx, fy, cx, cy = intr
+    k = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float64)
+    k_inv = np.linalg.inv(k)
+    n_w = np.array([0.0, 0.0, 1.0])
+    uu, vv = np.meshgrid(np.arange(w), np.arange(h))
+    rays = np.stack([(uu - cx) / fx, (vv - cy) / fy,
+                     np.ones_like(uu, np.float64)], -1)
+    n_c = r_wc @ n_w
+    img_f = np.zeros((h, w), np.float32)
+    depth_f = np.zeros((h, w), np.float64)
+    for plane_d, side in ((near, -1), (far, +1)):
+        h_mat = k @ (r_wc + np.outer(t_wc, n_w) / plane_d) @ k_inv
+        warp = cv2.warpPerspective(tex[side], h_mat, (w, h),
+                                   flags=cv2.INTER_LINEAR,
+                                   borderMode=cv2.BORDER_REFLECT_101)
+        d_c = plane_d + n_c @ t_wc
+        denom = rays @ n_c
+        z = np.where(np.abs(denom) > 1e-9, d_c / denom, 0.0)
+        # world x of the intersection decides which plane owns the pixel
+        cam_pts = rays * z[..., None]
+        world = (cam_pts - t_wc) @ r_wc          # R^T (X_c - t)
+        own = (world[..., 0] * side >= 0) & (z > 0.05)
+        img_f = np.where(own, warp, img_f)
+        depth_f = np.where(own, z, depth_f)
+    return img_f.astype(np.float32), depth_f.astype(np.float32)
+
+
+class StereoSequence(NamedTuple):
+    """Rectified synthetic stereo sequence with left-camera ground truth."""
+
+    images_l: np.ndarray   # [T, H, W] float32 in [0, 1]
+    images_r: np.ndarray   # [T, H, W]
+    depths: np.ndarray     # [T, H, W] analytic LEFT depth (oracle only)
+    poses_r: np.ndarray    # [T, 3, 3] world-to-left-camera
+    poses_t: np.ndarray    # [T, 3]
+    intr: np.ndarray       # [4] fx fy cx cy (shared by both cameras)
+    baseline: float        # metres, right camera at -baseline along cam x
+    timestamps: np.ndarray
+
+
+def two_plane_stereo_sequence(n_frames: int = 8, h: int = 480, w: int = 640,
+                              seed: int = 0, near: float = 3.0,
+                              far: float = 6.0, motion_scale: float = 1.0,
+                              path: str = "sweep", amplitude: float = 1.0,
+                              baseline: float = 0.12) -> StereoSequence:
+    """Rectified stereo variant of `two_plane_sequence` (KITTI-style rig).
+
+    The right camera shares the left's orientation and sits `baseline`
+    metres along its +x axis, so X_right = X_left - [b, 0, 0]: true
+    disparity is fx*b/z and rows align exactly — the geometry
+    `ops/stereo.py` assumes.  Depth maps are the LEFT camera's analytic
+    plane intersections (oracle for stereo-depth accuracy tests; the
+    stereo frontend itself never reads them).
+    """
+    intr = DEFAULT_INTR * np.array([w / 640.0, h / 480.0,
+                                    w / 640.0, h / 480.0], np.float32)
+    tex = {-1: textured_image(h, w, seed=seed, blobs=300, detail=0.25),
+           +1: textured_image(h, w, seed=seed + 101, blobs=300, detail=0.25)}
+    il, ir, depths, rots, trans, stamps = [], [], [], [], [], []
+    tb = np.array([baseline, 0.0, 0.0])
+    for f in range(n_frames):
+        r_wc, t_wc = _two_plane_pose(f, n_frames, path, motion_scale,
+                                     amplitude)
+        img_l, depth_l = _two_plane_render(r_wc, t_wc, tex, intr, h, w,
+                                           near, far)
+        img_r, _ = _two_plane_render(r_wc, t_wc - tb, tex, intr, h, w,
+                                     near, far)
+        il.append(img_l)
+        ir.append(img_r)
+        depths.append(depth_l)
+        rots.append(r_wc)
+        trans.append(t_wc)
+        stamps.append(f / 10.0)
+    return StereoSequence(images_l=np.stack(il), images_r=np.stack(ir),
+                          depths=np.stack(depths),
+                          poses_r=np.stack(rots).astype(np.float32),
+                          poses_t=np.stack(trans).astype(np.float32),
+                          intr=intr, baseline=float(baseline),
+                          timestamps=np.array(stamps))
 
 
 def ba_problem(seed: int = 0, n_cams: int = 6, n_pts: int = 80,

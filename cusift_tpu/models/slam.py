@@ -382,11 +382,26 @@ class Slam:
             return self._bootstrap(img, depth)
         return self._commit(*self._dispatch(img, depth))
 
+    def _sense(self, img, aux):
+        """Features + camera-frame 3D points of one frame (override hook).
+
+        `aux` is the per-frame companion input: the depth map here, the
+        right image in the stereo subclass (models/stereo.py).
+        """
+        feats, pts, _ = _extract_with_points(jnp.asarray(img),
+                                             jnp.asarray(aux), self.intr,
+                                             self.sift_cfg)
+        return feats, pts
+
+    def _sense_step(self, img, aux, kd, kv, kp, key):
+        """One fused track-against-reference dispatch (override hook)."""
+        return _frame_step(jnp.asarray(img), jnp.asarray(aux), self.intr,
+                           kd, kv, kp, self.sift_cfg, self.match_cfg,
+                           self.ransac_cfg, key)
+
     def _bootstrap(self, img, depth) -> dict:
         s = self.state
-        feats, pts, _ = _extract_with_points(jnp.asarray(img),
-                                             jnp.asarray(depth), self.intr,
-                                             self.sift_cfg)
+        feats, pts = self._sense(img, depth)
         i = self._add_keyframe(feats.desc, feats.valid, pts,
                                np.eye(3, dtype=np.float32),
                                np.zeros(3, np.float32))
@@ -408,10 +423,8 @@ class Slam:
         the caller chooses when to pay the fetch.
         """
         ref, kd, kv, kp = self._ref_cache
-        feats, pts, packed = _frame_step(
-            jnp.asarray(img), jnp.asarray(depth), self.intr, kd, kv, kp,
-            self.sift_cfg, self.match_cfg, self.ransac_cfg,
-            self._next_key())
+        feats, pts, packed = self._sense_step(img, depth, kd, kv, kp,
+                                              self._next_key())
         return feats, pts, packed, ref
 
     def _commit(self, feats, pts, packed, ref, index=None) -> dict:

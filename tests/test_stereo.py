@@ -83,3 +83,34 @@ def test_stereo_slam_tracks_metric_scale(seq):
     len_est = np.linalg.norm(np.diff(c_est, axis=0), axis=-1).sum()
     len_gt = np.linalg.norm(np.diff(c_gt, axis=0), axis=-1).sum()
     assert abs(len_est / len_gt - 1.0) < 0.05, (len_est, len_gt)
+
+
+@pytest.mark.slow
+def test_stereo_loop_soak_metric_drift():
+    """150-frame stereo circuit: metric drift far below the mono chain.
+
+    Same world/trajectory as the mono soak (two-plane loop): the mono
+    scale chain measures 37.6% KITTI translation drift after scale
+    alignment (BASELINE.md); stereo's per-feature metric depth holds
+    ~10% WITHOUT any alignment, through ring eviction (24 slots for ~
+    40+ promotions) and loop closure.
+    """
+    from cusift_tpu.data.evaluation import kitti_drift, \
+        trajectory_path_length
+
+    seq = two_plane_stereo_sequence(n_frames=150, h=240, w=320, seed=3,
+                                    motion_scale=0.9, path="loop",
+                                    amplitude=6.0)
+    slam = StereoSlam(seq.intr, seq.baseline, sift_cfg=SIFT,
+                      slam_cfg=SlamConfig(max_keyframes=24,
+                                          loop_temporal_gap=8))
+    recs = slam.run(zip(seq.images_l, seq.images_r))
+    assert sum(r.get("tracked", True) for r in recs) >= 145
+    assert slam.state.n_kf == 24      # ring at capacity, still inserting
+    er, et = slam.trajectory()
+    path = trajectory_path_length(seq.poses_r, seq.poses_t)[-1]
+    ate = ate_rmse(er, et, seq.poses_r, seq.poses_t)     # metric
+    assert ate < 0.04 * path, (ate, path)
+    t_pc, _ = kitti_drift(er, et, seq.poses_r, seq.poses_t,
+                          lengths=(0.25 * path, 0.5 * path), step=2)
+    assert np.isfinite(t_pc) and t_pc < 15.0, t_pc

@@ -114,3 +114,27 @@ def test_stereo_loop_soak_metric_drift():
     t_pc, _ = kitti_drift(er, et, seq.poses_r, seq.poses_t,
                           lengths=(0.25 * path, 0.5 * path), step=2)
     assert np.isfinite(t_pc) and t_pc < 15.0, t_pc
+
+
+def test_stereo_slam_distributed_window_ba():
+    """StereoSlam(dist_ba=True) runs the landmark-sharded window BA on
+    the virtual device mesh (the configs[4] streaming form, inherited
+    unchanged from the RGB-D backend)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    seq = two_plane_stereo_sequence(n_frames=8, h=192, w=256, seed=6,
+                                    motion_scale=0.7, amplitude=2.0)
+    sift = SiftConfig(max_kpts=256, max_kpts_per_octave=192, num_octaves=3)
+    slam = StereoSlam(seq.intr, seq.baseline, sift_cfg=sift,
+                      slam_cfg=SlamConfig(max_keyframes=12,
+                                          kf_min_inliers=200,
+                                          local_ba_window=3,
+                                          loop_temporal_gap=50),
+                      dist_ba=True)
+    assert slam._ba_mesh is not None
+    recs = slam.run(zip(seq.images_l, seq.images_r))
+    assert sum(r.get("tracked", True) for r in recs) >= 7
+    ate = ate_rmse(*slam.trajectory(), seq.poses_r, seq.poses_t)
+    assert ate < 0.06, f"metric ATE {ate:.4f} m"

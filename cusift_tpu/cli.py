@@ -289,10 +289,10 @@ def cmd_odo(args):
               f"({len(vo.poses_r)} frames already tracked)")
     t0 = time.time()
     est_r, est_t = vo.run(frames, max_frames=args.frames or None)
-    if args.save:
+    dt = time.time() - t0
+    if args.save:     # outside the timing window: npz compression is I/O
         vo.checkpoint(args.save)
         print(f"state checkpointed to {args.save}")
-    dt = time.time() - t0
     n_frames = len(est_r)
     ok = sum(1 for s in vo.stats if s["ok"])
     extra = (f"; {vo.n_kf} keyframes, {vo.n_closures} loop closures"

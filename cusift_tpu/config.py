@@ -216,12 +216,10 @@ class BAConfig:
     init_damping: float = 1e-3
     damping_up: float = 4.0
     damping_down: float = 0.5
-    huber_delta: float = 0.0
-    # kernel applied at huber_delta (optim/robust.py): "huber" (bounded
-    # influence, linear tail), "cauchy" (decaying influence), "tukey"
-    # (redescending — a gross outlier's influence goes to exactly zero;
-    # needs the sane odometry-chain initialisation the frontends provide)
-    robust_kernel: str = "huber"            # 0 => plain L2
+    huber_delta: float = 0.0            # 0 => plain L2 (inline Huber on
+                                        # reprojection residuals, ba.py —
+                                        # the graph kernels live on
+                                        # PoseGraphConfig.robust_kernel)
     fix_first_pose: bool = True
     # reprojection BA has a 7-dof gauge (6 pose + 1 scale); fixing >= 2
     # poses pins it completely.  num_fixed_poses counts from pose 0 and
@@ -236,8 +234,10 @@ class PoseGraphConfig:
     cg_tol: float = 1e-8
     init_damping: float = 1e-6
     fix_first_pose: bool = True
-    # Huber scale on the per-edge residual NORM (IRLS reweighting inside
-    # the LM loop; 0 = plain L2).  The graph residual blocks are
+    # Huber scale on the per-edge UNWEIGHTED residual norm (IRLS
+    # reweighting inside the LM loop; 0 = plain L2).  Edge weights express
+    # confidence (sqrt-information) and are divided out before the kernel
+    # so a weight-2 loop edge is not counter-penalised.  The graph residual blocks are
     # dimensionless (SE3 log / normalised translation / log scale), so one
     # scale serves both graphs: a healthy edge converges well under ~1
     # while a wrong-association loop edge sits at O(1) and, unrobustified,

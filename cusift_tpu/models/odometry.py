@@ -517,27 +517,13 @@ class MonoVO:
         and the newest 2 slots (the loop-verify reference neighbourhood)
         are never evicted.
         """
-        mode = self.vo_cfg.kf_evict
-        lo, hi = 1, self.n_kf - 2
-        if mode == "none" or hi <= lo:
+        from .evict import select_victim
+        victim = select_victim(
+            self.vo_cfg.kf_evict, self._kf_pose_r, self._kf_pose_t,
+            self.n_kf, guard=2,
+            edges=((e[0], e[1], e[5]) for e in self._edges))
+        if victim is None:
             return None
-        if mode == "oldest":
-            victim = lo
-        else:
-            assert mode == "redundant", f"unknown kf_evict {mode!r}"
-            r = self._kf_pose_r[:self.n_kf]
-            t = self._kf_pose_t[:self.n_kf]
-            c = -np.einsum("kji,kj->ki", r, t)
-            d = (np.linalg.norm(c[lo:hi] - c[lo - 1:hi - 1], axis=-1)
-                 + np.linalg.norm(c[lo + 1:hi + 1] - c[lo:hi], axis=-1))
-            has_loop = np.zeros(hi - lo, bool)
-            for (ei, ej, _r, _t, _s, w) in self._edges:
-                if w > 1.5:                      # loop edges carry weight 2
-                    for e in (ei, ej):
-                        if lo <= e < hi:
-                            has_loop[e - lo] = True
-            d = d + np.where(has_loop, 1e6, 0.0)
-            victim = lo + int(np.argmin(d))
         self._remove_keyframe_slot(victim)
         return victim
 
@@ -852,6 +838,15 @@ class MonoVO:
         for k, i in enumerate(idxs):
             self.poses_r[i] = rs[k].astype(np.float32)
             self.poses_t[i] = ts[k].astype(np.float32)
+        # keyframe-referenced tracking composes every future pose from the
+        # FROZEN reference pose: when BA just adjusted the reference
+        # frame, refresh the frozen copy or the next frame's composition
+        # silently reverts the correction
+        if (self.vo_cfg is not None and self.vo_cfg.track_ref == "keyframe"
+                and self._kf_frame and self._kf_frame[-1] in set(idxs)):
+            f_idx = self._kf_frame[-1]
+            self._ref_pose = (self.poses_r[f_idx].copy(),
+                              self.poses_t[f_idx].copy())
         self._last_ba = (float(c0), float(c1))
         if self.vo_cfg is not None and self.vo_cfg.map_anchor:
             # BA rewrote the newest pose: refresh the device pose state
@@ -917,6 +912,20 @@ class MonoVO:
                      for f in self._ref_feats], axis=-1)
                 d["ref_depth"] = np.asarray(self._ref_depth)
                 d["ref_pose_r"], d["ref_pose_t"] = self._ref_pose
+            if self.vo_cfg.map_anchor:
+                d.update(
+                    lmap_pos=np.asarray(self._lmap.pos),
+                    lmap_desc=np.asarray(self._lmap.desc),
+                    lmap_valid=np.asarray(self._lmap.valid),
+                    lmap_seen=np.asarray(self._lmap.seen),
+                    lmap_nobs=np.asarray(self._lmap.nobs),
+                    dev_pose_r=np.asarray(self._dev_pose[0]),
+                    dev_pose_t=np.asarray(self._dev_pose[1]),
+                    dev_rel_r=np.asarray(self._dev_rel[0]),
+                    dev_rel_t=np.asarray(self._dev_rel[1]),
+                )
+                if self._map_inl is not None:
+                    d["map_inl"] = np.asarray(self._map_inl)
         np.savez_compressed(path, **d)
 
     @staticmethod
@@ -973,6 +982,22 @@ class MonoVO:
                 self._ref_depth = jnp.asarray(z["ref_depth"])
                 self._ref_pose = (np.array(z["ref_pose_r"]),
                                   np.array(z["ref_pose_t"]))
+            if self.vo_cfg.map_anchor:
+                assert "lmap_pos" in z, \
+                    "checkpoint lacks map-anchor state (saved without it?)"
+                from .monomap import LandmarkMap
+                self._lmap = LandmarkMap(
+                    pos=jnp.asarray(z["lmap_pos"]),
+                    desc=jnp.asarray(z["lmap_desc"]),
+                    valid=jnp.asarray(z["lmap_valid"]),
+                    seen=jnp.asarray(z["lmap_seen"]),
+                    nobs=jnp.asarray(z["lmap_nobs"]))
+                self._dev_pose = (jnp.asarray(z["dev_pose_r"]),
+                                  jnp.asarray(z["dev_pose_t"]))
+                self._dev_rel = (jnp.asarray(z["dev_rel_r"]),
+                                 jnp.asarray(z["dev_rel_t"]))
+                self._map_inl = (jnp.asarray(z["map_inl"])
+                                 if "map_inl" in z else None)
 
     def run(self, frames, max_frames: int | None = None) -> tuple:
         for i, img in enumerate(frames):

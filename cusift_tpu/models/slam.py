@@ -247,44 +247,17 @@ class Slam:
         newest `local_ba_window` slots (the active BA window and tracking
         neighbourhood) are never evicted.
         """
+        from .evict import select_victim
         s = self.state
-        mode = self.cfg.kf_evict
-        guard = max(self.cfg.local_ba_window, 2)
-        lo, hi = 1, s.n_kf - guard
-        if mode == "none" or hi <= lo:
-            return None
         # a chunked run's in-flight reference keyframe must survive the
         # chunk (its packed measurements resolve through that slot)
-        pinned = self._chunk_ref[0] if self._chunk_ref is not None else -1
-        if mode == "oldest":
-            victim = lo if lo != pinned else lo + 1
-            if victim >= hi:
-                return None
-        else:
-            assert mode == "redundant", f"unknown kf_evict {mode!r}"
-            # camera centres c = -R^T t of keyframes [lo-1, hi]
-            r = s.kf_pose_r[:s.n_kf]
-            t = s.kf_pose_t[:s.n_kf]
-            c = -np.einsum("kji,kj->ki", r, t)
-            d = (np.linalg.norm(c[lo:hi] - c[lo - 1:hi - 1], axis=-1)
-                 + np.linalg.norm(c[lo + 1:hi + 1] - c[lo:hi], axis=-1))
-            if lo <= pinned < hi:
-                d[pinned - lo] = np.inf
-                if not np.isfinite(d).any():
-                    return None
-            # loop-edge nodes anchor the optimised graph: prefer any
-            # loop-free node first (additive penalty, NOT a hard
-            # exclusion — closure-dense maps must still make room, or
-            # insertion stalls and tracking degrades with the camera
-            # moving away from a frozen ring)
-            has_loop = np.zeros(hi - lo, bool)
-            for k in range(len(s.edge_i)):
-                if s.weight[k] > 1.5:            # loop edges carry weight 2
-                    for e in (s.edge_i[k], s.edge_j[k]):
-                        if lo <= e < hi:
-                            has_loop[e - lo] = True
-            d = d + np.where(has_loop, 1e6, 0.0)
-            victim = lo + int(np.argmin(d))
+        victim = select_victim(
+            self.cfg.kf_evict, s.kf_pose_r, s.kf_pose_t, s.n_kf,
+            guard=max(self.cfg.local_ba_window, 2),
+            edges=zip(s.edge_i, s.edge_j, s.weight),
+            pinned=self._chunk_ref[0] if self._chunk_ref is not None else -1)
+        if victim is None:
+            return None
         self._remove_keyframe_slot(victim)
         return victim
 

@@ -118,8 +118,15 @@ def cost(g: Sim3Graph, axis_name=None) -> jnp.ndarray:
 
 
 def _edge_norms(g: Sim3Graph) -> jnp.ndarray:
+    """UNWEIGHTED per-edge residual norms at the current poses.
+
+    The stored residuals carry the sqrt-information weight; dividing it
+    out keeps the robust kernel's scale in residual units, so a weight-2
+    loop edge (confidence) is not pushed toward the outlier regime at
+    half the residual of an odometry edge.
+    """
     r = _residuals(jnp.zeros((g.poses_r.shape[0], 7)), g)
-    return jnp.linalg.norm(r, axis=-1)
+    return jnp.linalg.norm(r, axis=-1) / jnp.maximum(g.weight, 1e-12)
 
 
 def _robust_cost(g: Sim3Graph, delta: float, kernel: str,
@@ -127,7 +134,9 @@ def _robust_cost(g: Sim3Graph, delta: float, kernel: str,
     """Robust cost on per-edge residual norms (delta <= 0: plain L2)."""
     if delta <= 0:
         return cost(g, axis_name)
-    c = jnp.sum(robust.rho(_edge_norms(g), delta, kernel))
+    # information-weighted robust cost: sum_e w_e^2 rho(||r_e||_unweighted)
+    # (reduces exactly to cost() when delta <= 0)
+    c = jnp.sum(g.weight ** 2 * robust.rho(_edge_norms(g), delta, kernel))
     return jax.lax.psum(c, axis_name) if axis_name is not None else c
 
 

@@ -58,7 +58,10 @@ def main():
     kfs = [r["frame"] for r in recs if r.get("keyframe")]
     loops = [r["frame"] for r in recs if r.get("loop")]
     n_kf = slam.state.n_kf
-    full_at = kfs[args.max_keyframes - 2] if len(kfs) >= args.max_keyframes - 1 else None
+    # the bootstrap keyframe is recs[0], so the ring is full at the
+    # max_keyframes-th keyframe record
+    full_at = (kfs[args.max_keyframes - 1]
+               if len(kfs) >= args.max_keyframes else None)
     after_full = [r for r in recs if full_at is not None and r["frame"] > full_at]
     ate = slam.ate(seq.poses_r, seq.poses_t)
     path = np.linalg.norm(np.diff(
@@ -68,7 +71,7 @@ def main():
           f"ms/frame) kf={n_kf}/{args.max_keyframes} "
           f"kf_frames={kfs[:8]}...{kfs[-3:] if len(kfs) > 8 else ''}")
     print(f"tracked={sum(tracked)}/{len(tracked)} "
-          f"tracked_after_ring_full={sum(r.get("tracked", True) for r in after_full)}"
+          f"tracked_after_ring_full={sum(r.get('tracked', True) for r in after_full)}"
           f"/{len(after_full)} loops={len(loops)} at {loops[:10]}")
     print(f"ATE={ate:.4f} m  path={path:.3f} m  ate/path={ate/path*100:.2f}%")
 

@@ -230,3 +230,42 @@ def test_mono_vo_map_anchor_tracks_sequence():
     # this length); the map's value is LONG-run drift containment
     # (tests/test_vo_sequence.py soak + BASELINE.md round-3 campaign)
     assert ate < 0.16 * path
+
+
+@pytest.mark.slow
+def test_map_anchor_checkpoint_resume_equivalence(tmp_path):
+    """Resuming a map-anchored run reproduces the uninterrupted one.
+
+    The checkpoint must carry the landmark table and the DEVICE pose
+    state (localize_step composes the next pose from it on device) —
+    without them a resumed run silently teleports to the origin.
+    """
+    seq = two_plane_sequence(n_frames=10, h=240, w=320, seed=3,
+                             near=3.0, far=6.0, motion_scale=0.6)
+    vo_cfg = VOConfig(max_keyframes=32, kf_every=2, map_anchor=True,
+                      map_size=1024, map_active_kf=8, map_insert_budget=128,
+                      map_min_inliers=15, map_min_obs=2, map_min_anchor=8,
+                      loop_temporal_gap=1000)
+
+    def make():
+        return MonoVO(seq.intr, sift_cfg=SIFT,
+                      ransac_cfg=RansacConfig(inlier_thresh_epi=4e-3),
+                      vo_cfg=vo_cfg)
+
+    full = make()
+    for img in seq.images[:6]:
+        full.process(img)
+    ckpt = str(tmp_path / "vo_map.npz")
+    full.checkpoint(ckpt)
+    for img in seq.images[6:]:
+        full.process(img)
+    er_a, et_a = full.trajectory()
+
+    resumed = make()
+    resumed.restore(ckpt)
+    assert int(resumed._lmap.valid.sum()) > 0, "landmark table restored"
+    for img in seq.images[6:]:
+        resumed.process(img)
+    er_b, et_b = resumed.trajectory()
+    np.testing.assert_allclose(et_b, et_a, atol=1e-5)
+    np.testing.assert_allclose(er_b, er_a, atol=1e-5)

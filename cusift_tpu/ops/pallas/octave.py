@@ -57,17 +57,22 @@ def _plan(cfg, h: int, w: int, tr: int = _TR):
 
 
 def _compute(samp_dst, dog_dst, score_dst, base_ref, tile, acc, levs, sem,
-             *, taps, rp, tr, h, w, wv, s, prefilter):
+             *, taps, rp, tr, h, w, wv, s, prefilter, batched):
     """Shared tile body: blur levels, DoG, extrema score for one row tile.
 
     ``*_dst`` are [planes, tr, wv] refs — either the pipeline's VMEM output
     blocks (``_kernel``) or manually-DMA'd scratch buffers (``_kernel_hbm``);
-    both index identically.
+    both index identically.  ``batched`` selects the (batch, tile) grid form:
+    the base lives whole in HBM/ANY space (a batched block would need a
+    non-trivial index_map, which Mosaic rejects for ANY-space blocks — the
+    reason ``jax.vmap`` cannot batch this kernel directly), so the batch
+    index just rides the manual input DMA.
     """
-    i = pl.program_id(0)
+    i = pl.program_id(1 if batched else 0)
 
+    src = base_ref.at[pl.program_id(0)] if batched else base_ref
     cp = pltpu.make_async_copy(
-        base_ref.at[pl.ds(pl.multiple_of(i * tr, 8), tr + 2 * rp), :],
+        src.at[pl.ds(pl.multiple_of(i * tr, 8), tr + 2 * rp), :],
         tile, sem)
     cp.start()
     cp.wait()
@@ -164,12 +169,14 @@ def _kernel_hbm(base_ref, samp_ref, dog_ref, score_ref, tile, acc, levs,
     waiting in-line costs ~nothing.
     """
     _compute(obuf_s, obuf_d, obuf_c, base_ref, tile, acc, levs, sem, **kw)
-    i = pl.program_id(0)
+    batched = kw["batched"]
+    i = pl.program_id(1 if batched else 0)
     tr = kw["tr"]
     row = pl.ds(pl.multiple_of(i * tr, 8), tr)
     for buf, ref in ((obuf_s, samp_ref), (obuf_d, dog_ref),
                      (obuf_c, score_ref)):
-        cp = pltpu.make_async_copy(buf, ref.at[:, row, :], sem_out)
+        dst = ref.at[pl.program_id(0)] if batched else ref
+        cp = pltpu.make_async_copy(buf, dst.at[:, row, :], sem_out)
         cp.start()
         cp.wait()
 
@@ -183,11 +190,35 @@ def fused_octave(base: jnp.ndarray, cfg, h: int, w: int,
 
     Returns (sample_levels [S, H, W], dog [S+2, H, W], score [S, H, W])
     where score holds |DoG| at strict interior 26-neighbour extrema that
-    clear the contrast prefilter, and -inf elsewhere.
+    clear the contrast prefilter, and -inf elsewhere.  A [B, H, W] base
+    returns [B, ...]-leading outputs, with the batch riding the Pallas
+    grid; ``jax.vmap`` routes here through a ``custom_vmap`` rule because
+    the default batching rule would give the ANY-space base block a
+    non-trivial index_map, which the Mosaic lowering rejects (it only
+    pipelines VMEM blocks).
 
     ``tr`` is the output rows per grid step; ``hbm_out`` selects the
     manual-output-DMA kernel (the only way to run tr > 48 within VMEM).
     """
+
+    @jax.custom_batching.custom_vmap
+    def call(b_):
+        return _fused_octave_impl(b_, cfg, h, w, interpret, tr, hbm_out)
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, b_):
+        del axis_size
+        assert in_batched[0]
+        out = _fused_octave_impl(b_, cfg, h, w, interpret, tr, hbm_out)
+        return out, (True, True, True)
+
+    return call(base)
+
+
+def _fused_octave_impl(base: jnp.ndarray, cfg, h: int, w: int,
+                       interpret: bool, tr: int, hbm_out: bool):
+    batched = base.ndim == 3
+    nb = base.shape[0] if batched else 1
     s = cfg.scales_per_octave
     prefilter = 0.5 * cfg.contrast_thresh / s
     assert tr % 8 == 0, tr
@@ -205,8 +236,10 @@ def fused_octave(base: jnp.ndarray, cfg, h: int, w: int,
     # reflect-101 only up to rp (reflect pads must stay < dim); the tile
     # overhang past the last image row is zero-filled and never read back
     # (outputs are sliced to [:h, :w])
-    pad_r = jnp.pad(base, ((rp, rp), (rp, rp)), mode="reflect")
-    pad_r = jnp.pad(pad_r, ((0, hp - h - 2 * rp), (0, wp - w - 2 * rp)))
+    lead = ((0, 0),) if batched else ()
+    pad_r = jnp.pad(base, lead + ((rp, rp), (rp, rp)), mode="reflect")
+    pad_r = jnp.pad(pad_r, lead + ((0, hp - h - 2 * rp),
+                                   (0, wp - w - 2 * rp)))
 
     scratch = [
         pltpu.VMEM((tr + 2 * rp, wp), jnp.float32),
@@ -226,32 +259,44 @@ def fused_octave(base: jnp.ndarray, cfg, h: int, w: int,
         ]
     else:
         kernel = _kernel
-        out_specs = [
-            pl.BlockSpec((s, tr, wv), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((s + 2, tr, wv), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, tr, wv), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-        ]
+        if batched:
+            out_specs = [
+                pl.BlockSpec((None, s, tr, wv), lambda b, i: (b, 0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, s + 2, tr, wv), lambda b, i: (b, 0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((None, s, tr, wv), lambda b, i: (b, 0, i, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+        else:
+            out_specs = [
+                pl.BlockSpec((s, tr, wv), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((s + 2, tr, wv), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((s, tr, wv), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+            ]
         scratch += [pltpu.SemaphoreType.DMA(())]
 
+    blead = (nb,) if batched else ()
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(n_tiles,),
+        grid=blead + (n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=out_specs,
         scratch_shapes=scratch,
     )
     samp, dog, score = pl.pallas_call(
         functools.partial(kernel, taps=taps, rp=rp, tr=tr, h=h, w=w,
-                          wv=wv, s=s, prefilter=prefilter),
+                          wv=wv, s=s, prefilter=prefilter, batched=batched),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((s, n_tiles * tr, wv), jnp.float32),
-            jax.ShapeDtypeStruct((s + 2, n_tiles * tr, wv), jnp.float32),
-            jax.ShapeDtypeStruct((s, n_tiles * tr, wv), jnp.float32),
+            jax.ShapeDtypeStruct(blead + (s, n_tiles * tr, wv), jnp.float32),
+            jax.ShapeDtypeStruct(blead + (s + 2, n_tiles * tr, wv),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct(blead + (s, n_tiles * tr, wv), jnp.float32),
         ],
         interpret=interpret,
     )(pad_r)
-    return samp[:, :h, :w], dog[:, :h, :w], score[:, :h, :w]
+    return samp[..., :h, :w], dog[..., :h, :w], score[..., :h, :w]

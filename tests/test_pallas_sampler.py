@@ -117,6 +117,41 @@ def test_fused_octave_hbm_matches_pipelined(rng, test_image):
                                       err_msg=name)
 
 
+def test_fused_octave_batched_matches_single(rng, test_image):
+    """[B, H, W] bases ride the Pallas grid (and jax.vmap routes through
+    the custom_vmap rule onto that path): both must be bit-identical to
+    per-image calls.  Regression for the round-3 chip finding: the default
+    vmap batching rule gives the ANY-space base block a non-trivial
+    index_map, which the Mosaic lowering rejects — every fused-pyramid
+    variant failed to lower under extract_batch until the batch moved
+    into the kernel grid."""
+    import jax
+    import jax.numpy as jnp
+    from cusift_tpu.config import SiftConfig
+    from cusift_tpu.ops.pyramid import initial_level
+    from cusift_tpu.ops.pallas.octave import fused_octave
+
+    cfg = SiftConfig()
+    base = initial_level(jnp.asarray(test_image), cfg)
+    h, w = base.shape
+    batch = jnp.stack([base, 0.5 * base + 0.1, base[::-1]])
+    for tr, hbm in ((48, False), (96, True)):
+        singles = [fused_octave(b, cfg, h, w, interpret=True, tr=tr,
+                                hbm_out=hbm) for b in batch]
+        grid = fused_octave(batch, cfg, h, w, interpret=True, tr=tr,
+                            hbm_out=hbm)
+        vm = jax.vmap(lambda b: fused_octave(b, cfg, h, w, interpret=True,
+                                             tr=tr, hbm_out=hbm))(batch)
+        for i, one in enumerate(singles):
+            for a, b_, name in zip(one, (g[i] for g in grid),
+                                   ("samp", "dog", "score")):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b_),
+                                              err_msg=f"grid {name}[{i}]")
+        for a, b_, name in zip(grid, vm, ("samp", "dog", "score")):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_),
+                                          err_msg=f"vmap {name}")
+
+
 def test_checkify_bounds_clean(rng):
     """SURVEY.md §5.2: checkify-guarded index math passes on adversarial
     border keypoints (patch corners clipped against every image edge)."""

@@ -62,11 +62,16 @@ def main():
                          "needs at least two frames)")
     ap.add_argument("--no-upscale", action="store_true",
                     help="skip the 2x first octave (cv2/CudaSift extract it)")
-    ap.add_argument("--score-dtype", default="f32", choices=("f32", "bf16"),
-                    help="extremum-score arithmetic (config.py score_dtype)")
-    ap.add_argument("--conv-backend", default="auto",
+    ap.add_argument("--score-dtype", default="bf16", choices=("f32", "bf16"),
+                    help="extremum-score arithmetic (config.py score_dtype; "
+                         "bf16 default per the round-3 chip measurement — "
+                         "scores only RANK candidates, 95%% of strong "
+                         "keypoints dtype-invariant, refinement reads f32)")
+    ap.add_argument("--conv-backend", default="mxu2",
                     choices=("auto", "mxu", "mxu2", "vpu"),
-                    help="pyramid separable-conv backend")
+                    help="pyramid separable-conv backend (mxu2 default: "
+                         "output-layout window stacking measured ~3%% "
+                         "faster than mxu on the chip)")
     ap.add_argument("--pyramid-impl", default="chain",
                     choices=("chain", "direct"),
                     help="octave level construction")
@@ -117,6 +122,14 @@ def main():
     if args.max_kpts == 5120:
         sift_cfg = SiftConfig(max_kpts=5120, max_kpts_per_octave=2560,
                               octave_budgets=(2560, 1280, 320, 96, 32),
+                              upscale=not args.no_upscale, **variant)
+    elif args.max_kpts == 5632:
+        sift_cfg = SiftConfig(max_kpts=5632, max_kpts_per_octave=2816,
+                              octave_budgets=(2816, 1408, 352, 96, 32),
+                              upscale=not args.no_upscale, **variant)
+    elif args.max_kpts == 6144:
+        sift_cfg = SiftConfig(max_kpts=6144, max_kpts_per_octave=3072,
+                              octave_budgets=(3072, 1536, 384, 96, 32),
                               upscale=not args.no_upscale, **variant)
     elif args.max_kpts == 4096:
         sift_cfg = SiftConfig(max_kpts=4096, max_kpts_per_octave=2048,

@@ -54,7 +54,7 @@ def main():
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--size", type=int, nargs=2, default=(480, 640))
-    ap.add_argument("--max-kpts", type=int, default=5120)
+    ap.add_argument("--max-kpts", type=int, default=6144)
     ap.add_argument("--batch", type=int, default=8,
                     help="frames per dispatch for the headline batched "
                          "pipeline (0 = use the two-frame pair step; "
@@ -78,8 +78,14 @@ def main():
     ap.add_argument("--fused-pyramid", default="auto",
                     choices=("auto", "xla", "pallas", "pallas_hbm"),
                     help="fused octave kernel variant (config.py)")
-    ap.add_argument("--fused-tile-rows", type=int, default=96,
-                    help="row tile for fused-pyramid=pallas_hbm")
+    ap.add_argument("--fused-tile-rows", type=int, default=64,
+                    help="row tile for fused-pyramid=pallas_hbm (the "
+                         "measured optimum of the round-4 bisect; >= 96 "
+                         "needs LIBTPU_INIT_ARGS=--xla_tpu_scoped_vmem_"
+                         "limit_kib=32768 and measures slower anyway)")
+    ap.add_argument("--desc-slot-factor", type=float, default=1.25,
+                    help="descriptor slots per candidate budget "
+                         "(config.py desc_slot_factor)")
     ap.add_argument("--profile", action="store_true",
                     help="capture a jax.profiler trace into ./trace")
     args = ap.parse_args()
@@ -118,7 +124,8 @@ def main():
                    conv_backend=args.conv_backend,
                    pyramid_impl=args.pyramid_impl,
                    fused_pyramid=args.fused_pyramid,
-                   fused_tile_rows=args.fused_tile_rows)
+                   fused_tile_rows=args.fused_tile_rows,
+                   desc_slot_factor=args.desc_slot_factor)
     if args.max_kpts == 5120:
         sift_cfg = SiftConfig(max_kpts=5120, max_kpts_per_octave=2560,
                               octave_budgets=(2560, 1280, 320, 96, 32),
@@ -130,6 +137,14 @@ def main():
     elif args.max_kpts == 6144:
         sift_cfg = SiftConfig(max_kpts=6144, max_kpts_per_octave=3072,
                               octave_budgets=(3072, 1536, 384, 96, 32),
+                              upscale=not args.no_upscale, **variant)
+    elif args.max_kpts == 6656:
+        sift_cfg = SiftConfig(max_kpts=6656, max_kpts_per_octave=3328,
+                              octave_budgets=(3328, 1664, 416, 96, 32),
+                              upscale=not args.no_upscale, **variant)
+    elif args.max_kpts == 7168:
+        sift_cfg = SiftConfig(max_kpts=7168, max_kpts_per_octave=3584,
+                              octave_budgets=(3584, 1792, 448, 96, 32),
                               upscale=not args.no_upscale, **variant)
     elif args.max_kpts == 4096:
         sift_cfg = SiftConfig(max_kpts=4096, max_kpts_per_octave=2048,

@@ -101,7 +101,11 @@ class SiftConfig:
     # light; bf16 halves its bytes.  Scores only RANK candidates into the
     # static budget, so bf16's ~3 decimal digits perturb the same weak
     # tail that approx_topk's 0.95 recall already does; refinement reads
-    # the f32 DoG regardless.  Kept opt-in until measured on chip.
+    # the f32 DoG regardless.  Measured on chip (round 3): −0.34 ms/frame,
+    # 95% of strong keypoints dtype-invariant — bench.py defaults to bf16.
+    # The LIBRARY default stays f32 deliberately: the cv2-oracle parity
+    # envelope and every accuracy test are certified against f32 scoring,
+    # and throughput-critical callers opt in exactly like the bench does.
     score_dtype: str = "f32"
 
     dtype: str = "float32"
@@ -358,6 +362,22 @@ class VOConfig:
     # gain 1.0 injects the anchor measurement's full per-frame noise
     # (measured ±15% on the two-plane scene), gain 0 disables anchoring
     map_scale_gain: float = 0.4
+    # Sim(3) correction health gate (VERDICT r3 task 3): the 1000-frame
+    # soak measured the corrected trajectory WORSE than raw (t_pct 82.5 vs
+    # 51.5) because a late-run scale-chain collapse poisons the loop
+    # edges' med_b/med_a scale observables COHERENTLY — robust kernels
+    # cannot see it (the poisoned edges agree with each other).  The gate
+    # validates each solve against the smooth-motion prior the frontend
+    # already trusts (the scale clamp): per-keyframe-segment camera speed
+    # should not get LESS uniform under a genuine drift correction.
+    # "speed" rejects a solve whose log-speed dispersion exceeds
+    # raw's by sim3_gate_margin (keeping the last accepted correction);
+    # "off" applies every solve (the round-3 behaviour).
+    sim3_gate: str = "speed"
+    # multiplicative headroom on the corrected/raw log-speed dispersion
+    # ratio; measured: healthy 300-frame solves sit at <= ~1.0x raw while
+    # the poisoned 1000-frame solves blow past it (scripts/gate_probe.py)
+    sim3_gate_margin: float = 1.15
 
 
 @dataclass(frozen=True)

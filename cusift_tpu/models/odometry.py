@@ -300,6 +300,8 @@ class MonoVO:
                               # pins at capacity once eviction starts);
                               # the landmark-map recency epoch
         self.n_closures = 0
+        self.n_gate_rejects = 0   # Sim(3) solves refused by sim3_gate
+        self.gate_log: list[dict] = []   # per-solve gate observables
         self._kf_frame: list[int] = []   # frame index of each keyframe
         self._frame_ref: list[int] = []  # keyframe index each frame rides on
         self._ema_step = 0.0             # smoothed per-pair |t| (global units)
@@ -730,6 +732,34 @@ class MonoVO:
         self._optimize_graph()
         return True
 
+    @staticmethod
+    def _speed_dispersion(pose_r: np.ndarray, pose_t: np.ndarray,
+                          scales: np.ndarray | None,
+                          frames: list[int]) -> float:
+        """Std of log per-keyframe-segment camera speed (gate observable).
+
+        Speed = distance between consecutive keyframe camera centres per
+        frame of temporal gap.  With `scales`, centres come from the
+        CORRECTED similarity (R_i, t_i / s_i) — exactly the keyframe poses
+        `trajectory()` emits.  The physical prior: camera speed varies
+        slowly, so a genuine scale-drift correction makes the log-speed
+        profile MORE uniform, while a correction built on poisoned scale
+        observables (coherent chain-collapse error) makes it wildly less
+        uniform.
+        """
+        n = len(frames)
+        if n < 5:
+            return 0.0
+        t = pose_t[:n] / (np.maximum(scales[:n], 1e-12)[:, None]
+                          if scales is not None else 1.0)
+        c = -np.einsum("nij,nj->ni", np.transpose(pose_r[:n], (0, 2, 1)), t)
+        gaps = np.maximum(np.diff(np.asarray(frames, np.float64)), 1.0)
+        v = np.linalg.norm(np.diff(c, axis=0), axis=1) / gaps
+        v = v[v > 1e-12]
+        if v.size < 4:
+            return 0.0
+        return float(np.std(np.log(v)))
+
     def _optimize_graph(self):
         """Sim(3) pose graph over the raw keyframe chain.
 
@@ -741,6 +771,11 @@ class MonoVO:
         corrected keyframe pose (R_i, t_i / s_i), frame poses rebased
         through their reference keyframe with the local translation
         converted out of its raw epoch (rel_t / s_ref).
+
+        Each solve must pass the `sim3_gate` health check before it is
+        stored (VOConfig.sim3_gate): a rejected solve keeps the last
+        ACCEPTED correction, so one poisoned closure can never make the
+        output trajectory worse than what the engine already had.
         """
         from ..optim.sim3graph import Sim3Graph, optimize as sim3_optimize
 
@@ -775,9 +810,23 @@ class MonoVO:
         packed = np.array(jnp.concatenate([
             res.poses_r.reshape(-1), res.poses_t.reshape(-1), res.poses_s]))
         kf = self._kf_pose_r.shape[0]
-        self._corr = (packed[:kf * 9].reshape(kf, 3, 3),
-                      packed[kf * 9:kf * 12].reshape(kf, 3),
-                      packed[kf * 12:])
+        corr = (packed[:kf * 9].reshape(kf, 3, 3),
+                packed[kf * 9:kf * 12].reshape(kf, 3),
+                packed[kf * 12:])
+        sig_raw = self._speed_dispersion(self._kf_pose_r, self._kf_pose_t,
+                                         None, self._kf_frame)
+        sig_corr = self._speed_dispersion(corr[0], corr[1], corr[2],
+                                          self._kf_frame)
+        accept = (self.vo_cfg.sim3_gate != "speed" or sig_raw <= 0.0
+                  or sig_corr <= sig_raw * self.vo_cfg.sim3_gate_margin)
+        self.gate_log.append(dict(frame=len(self.poses_r) - 1,
+                                  sig_raw=round(sig_raw, 4),
+                                  sig_corr=round(sig_corr, 4),
+                                  accept=bool(accept)))
+        if accept:
+            self._corr = corr
+        else:
+            self.n_gate_rejects += 1
 
     def trajectory(self) -> tuple:
         """Per-frame world-to-camera poses with the latest loop correction.

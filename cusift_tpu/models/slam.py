@@ -372,6 +372,14 @@ class Slam:
                            kd, kv, kp, self.sift_cfg, self.match_cfg,
                            self.ransac_cfg, key)
 
+    def _chunk_sense_step(self, fchunk, kd, kv, kp, keys):
+        """N-frame tracking dispatch against one reference (override hook).
+
+        `fchunk` is the packed [N, 2, H, W] chunk (image+aux planes).
+        """
+        return _chunk_step(fchunk, self.intr, kd, kv, kp, self.sift_cfg,
+                           self.match_cfg, self.ransac_cfg, keys)
+
     def _bootstrap(self, img, depth) -> dict:
         s = self.state
         feats, pts = self._sense(img, depth)
@@ -568,9 +576,8 @@ class Slam:
                     break
             ref, kd, kv, kp = self._ref_cache
             keys = jax.random.split(self._next_key(), chunk)
-            feats, pts, packed = _chunk_step(
-                fchunk, self.intr, kd, kv, kp, self.sift_cfg,
-                self.match_cfg, self.ransac_cfg, keys)
+            feats, pts, packed = self._chunk_sense_step(fchunk, kd, kv, kp,
+                                                        keys)
             packed_np = np.asarray(packed)           # the one fetch
             # every frame of the chunk was measured against the keyframe
             # captured above, so its SLOT must stay resolvable across the

@@ -53,6 +53,26 @@ def _extract_stereo_points(img_l, img_r, intr, baseline,
 
 
 @partial(jax.jit, static_argnames=("sift_cfg", "match_cfg", "ransac_cfg"))
+def _stereo_chunk_step(frames, intr, baseline,
+                       ref_desc, ref_valid, ref_pts,
+                       sift_cfg: SiftConfig, match_cfg: MatchConfig,
+                       ransac_cfg: RansacConfig, keys):
+    """Track a [N, 2, H, W] stereo chunk against ONE reference keyframe.
+
+    The stereo mirror of slam._chunk_step: plane 0 is the left image,
+    plane 1 the right (utils/pipeline.py packs (img_l, img_r) pairs
+    exactly like (img, depth)).  One dispatch, one packed [N, 22] fetch —
+    the host-link amortisation the chunked run exists for.
+    """
+    def one(fr, k):
+        return _stereo_frame_step(fr[0], fr[1], intr, baseline,
+                                  ref_desc, ref_valid, ref_pts,
+                                  sift_cfg, match_cfg, ransac_cfg, k)
+
+    return jax.vmap(one)(frames, keys)
+
+
+@partial(jax.jit, static_argnames=("sift_cfg", "match_cfg", "ransac_cfg"))
 def _stereo_frame_step(img_l, img_r, intr, baseline,
                        ref_desc, ref_valid, ref_pts,
                        sift_cfg: SiftConfig, match_cfg: MatchConfig,
@@ -105,6 +125,7 @@ class StereoSlam(Slam):
             kd, kv, kp, self.sift_cfg, self.match_cfg, self.ransac_cfg,
             key)
 
-    def _run_chunked(self, frames, max_frames, chunk: int):
-        raise ValueError("chunked dispatch is not supported on the stereo "
-                         "path; call run(..., chunk=1)")
+    def _chunk_sense_step(self, fchunk, kd, kv, kp, keys):
+        return _stereo_chunk_step(
+            fchunk, self.intr, self.baseline, kd, kv, kp, self.sift_cfg,
+            self.match_cfg, self.ransac_cfg, keys)

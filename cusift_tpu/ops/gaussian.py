@@ -204,13 +204,15 @@ def blur(img: jnp.ndarray, sigma: float, radius: int | None = None,
 
     backend: "auto" (MXU banded matmuls on TPU, VPU shifted adds
     elsewhere), "mxu", "mxu2" (window stacking in output layout), or
-    "vpu".
+    "vpu".  "auto" resolves to "mxu2" on TPU: the output-layout window
+    stacking measured ~3% faster than "mxu" on the chip (round-3
+    pyr_probe, docs/kernels.md dense-stage table row B).
     """
     if float(sigma) <= 0.0:
         return img
     taps = gaussian_taps(sigma, radius)
     if backend == "auto":
-        backend = "mxu" if jax.default_backend() == "tpu" else "vpu"
+        backend = "mxu2" if jax.default_backend() == "tpu" else "vpu"
     conv = _CONVS[backend]
     return conv(conv(img, taps, axis=-2), taps, axis=-1)
 

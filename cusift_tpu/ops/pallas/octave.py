@@ -217,6 +217,9 @@ def fused_octave(base: jnp.ndarray, cfg, h: int, w: int,
 
 def _fused_octave_impl(base: jnp.ndarray, cfg, h: int, w: int,
                        interpret: bool, tr: int, hbm_out: bool):
+    assert base.ndim in (2, 3), (
+        f"fused_octave supports one batch level at most (base.ndim="
+        f"{base.ndim}); nested vmap cannot ride the kernel grid")
     batched = base.ndim == 3
     nb = base.shape[0] if batched else 1
     s = cfg.scales_per_octave

@@ -34,13 +34,20 @@ already zero those lanes via the ``inb`` mask.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_G = 8  # keypoints per grid step
+# keypoints per grid step.  32 is the measured optimum on v5e (round-4
+# chip sweep of the headline pipeline, kpts/s: G=8 778.0k, 16 781.1k,
+# **32 794.5k**, 64 791.5k, 128 784.4k): larger groups amortise the
+# per-grid-step overhead (block index math, DMA semaphore round) and let
+# the G in-flight patch DMAs overlap deeper, until VMEM pressure and
+# tail quantisation turn it back down.  Env-tunable for perf probes.
+_G = int(os.environ.get("CUSIFT_SAMPLER_GROUP", "32"))
 
 
 def _kernel(lvl_ref, y0_ref, x0_ref,          # scalar prefetch [N]
@@ -100,6 +107,11 @@ def _kernel(lvl_ref, y0_ref, x0_ref,          # scalar prefetch [N]
         # bf16-safe, same principle as the gradient quantisation).
         wyt = jnp.maximum(0.0, 1.0 - jnp.abs(ry[None, :] - rowi))  # [PR, S]
         wxt = jnp.maximum(0.0, 1.0 - jnp.abs(rx[None, :] - coli))  # [PC, S]
+        # both gradient channels contract against the SAME column-weight
+        # matrix, so one [2*PR, PC] x [PC, S] dot replaces two — halving
+        # the per-slot MXU issue count (the dots are far too small to
+        # fill the MXU; issue latency, not FLOPs, is what they cost)
+        gxy = jnp.concatenate([gx, gy], axis=0)                # [2PR, PC]
         if bf16_dots:
             # Quantising the GRADIENTS (not the patch) to bf16 is safe: a
             # bf16 pass over the patch values loses ~5e-3 absolute through
@@ -107,19 +119,14 @@ def _kernel(lvl_ref, y0_ref, x0_ref,          # scalar prefetch [N]
             # already-differenced gradients costs only ~2^-8 RELATIVE
             # (~1e-4 absolute at typical gradient magnitudes) — and a
             # single-pass bf16 MXU dot is 6x the HIGHEST (6-pass) rate.
-            bx = jnp.dot(gx.astype(jnp.bfloat16),
-                         wxt.astype(jnp.bfloat16),
-                         preferred_element_type=jnp.float32)   # [PR, S]
-            by = jnp.dot(gy.astype(jnp.bfloat16),
-                         wxt.astype(jnp.bfloat16),
-                         preferred_element_type=jnp.float32)
+            bxy = jnp.dot(gxy.astype(jnp.bfloat16),
+                          wxt.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)  # [2PR, S]
         else:
-            bx = jnp.dot(gx, wxt, precision=jax.lax.Precision.HIGHEST,
-                         preferred_element_type=jnp.float32)   # [PR, S]
-            by = jnp.dot(gy, wxt, precision=jax.lax.Precision.HIGHEST,
-                         preferred_element_type=jnp.float32)
-        ox_ref[j, :] = jnp.sum(bx * wyt, axis=0)
-        oy_ref[j, :] = jnp.sum(by * wyt, axis=0)
+            bxy = jnp.dot(gxy, wxt, precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)  # [2PR, S]
+        ox_ref[j, :] = jnp.sum(bxy[:pr] * wyt, axis=0)
+        oy_ref[j, :] = jnp.sum(bxy[pr:] * wyt, axis=0)
 
 
 def _kernel_sep(lvl_ref, y0_ref, x0_ref,      # scalar prefetch [N]
@@ -186,20 +193,22 @@ def _kernel_sep(lvl_ref, y0_ref, x0_ref,      # scalar prefetch [N]
 
 
 def _sample_slot(gx, gy, ry, rx, rowi, coli, bf16_dots: bool):
-    """Shared per-slot separable-bilinear sampling -> (dx, dy) [S]."""
+    """Shared per-slot separable-bilinear sampling -> (dx, dy) [S].
+
+    One fused [2*PR, PC] x [PC, S] dot for both gradient channels (they
+    share the column-weight matrix; see _kernel)."""
+    pr = gx.shape[0]
     wyt = jnp.maximum(0.0, 1.0 - jnp.abs(ry[None, :] - rowi))  # [PR, S]
     wxt = jnp.maximum(0.0, 1.0 - jnp.abs(rx[None, :] - coli))  # [PC, S]
+    gxy = jnp.concatenate([gx, gy], axis=0)                    # [2PR, PC]
     if bf16_dots:
-        bx = jnp.dot(gx.astype(jnp.bfloat16), wxt.astype(jnp.bfloat16),
-                     preferred_element_type=jnp.float32)       # [PR, S]
-        by = jnp.dot(gy.astype(jnp.bfloat16), wxt.astype(jnp.bfloat16),
-                     preferred_element_type=jnp.float32)
+        bxy = jnp.dot(gxy.astype(jnp.bfloat16), wxt.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)      # [2PR, S]
     else:
-        bx = jnp.dot(gx, wxt, precision=jax.lax.Precision.HIGHEST,
-                     preferred_element_type=jnp.float32)
-        by = jnp.dot(gy, wxt, precision=jax.lax.Precision.HIGHEST,
-                     preferred_element_type=jnp.float32)
-    return jnp.sum(bx * wyt, axis=0), jnp.sum(by * wyt, axis=0)
+        bxy = jnp.dot(gxy, wxt, precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
+    return (jnp.sum(bxy[:pr] * wyt, axis=0),
+            jnp.sum(bxy[pr:] * wyt, axis=0))
 
 
 _PI = 3.14159265358979
@@ -388,13 +397,18 @@ def sample_ori_hist(gauss: jnp.ndarray, lvl: jnp.ndarray,
     """
     l, h, w = gauss.shape
     n, s = ys.shape
-    assert n % _G == 0, (n, _G)
+    pad_n = (-n) % _G
+    if pad_n:
+        lvl = jnp.pad(lvl, (0, pad_n))
+        ys = jnp.pad(ys, ((0, pad_n), (0, 0)))
+        xs = jnp.pad(xs, ((0, pad_n), (0, 0)))
+        wv = jnp.pad(wv, ((0, pad_n), (0, 0)))
     gauss, inb, y0, x0, ry, rx = _patch_geometry(gauss, ys, xs, pr, pc)
     wv = wv * inb
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n // _G,),
+        grid=((n + pad_n) // _G,),
         in_specs=[
             pl.BlockSpec((_G, s), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -416,10 +430,10 @@ def sample_ori_hist(gauss: jnp.ndarray, lvl: jnp.ndarray,
     (hist,) = pl.pallas_call(
         functools.partial(_kernel_hist, pr=pr, pc=pc, h=h, w=w, nb=nb),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n, nb), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((n + pad_n, nb), jnp.float32)],
         interpret=interpret,
     )(jnp.clip(lvl, 0, l - 1), y0, x0, ry, rx, wv, gauss)
-    return hist
+    return hist[:n]
 
 
 @functools.partial(jax.jit,
@@ -437,13 +451,19 @@ def sample_desc_raw(gauss: jnp.ndarray, lvl: jnp.ndarray,
     """
     l, h, w = gauss.shape
     n, s = ys.shape
-    assert n % _G == 0, (n, _G)
+    pad_n = (-n) % _G
+    if pad_n:
+        lvl = jnp.pad(lvl, (0, pad_n))
+        ys = jnp.pad(ys, ((0, pad_n), (0, 0)))
+        xs = jnp.pad(xs, ((0, pad_n), (0, 0)))
+        theta = jnp.pad(theta, (0, pad_n))
+        wv = jnp.pad(wv, ((0, pad_n), (0, 0)))
     gauss, inb, y0, x0, ry, rx = _patch_geometry(gauss, ys, xs, pr, pc)
     wv = wv * inb
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(n // _G,),
+        grid=((n + pad_n) // _G,),
         in_specs=[
             pl.BlockSpec((_G, s), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -468,10 +488,11 @@ def sample_desc_raw(gauss: jnp.ndarray, lvl: jnp.ndarray,
         functools.partial(_kernel_desc, pr=pr, pc=pc, h=h, w=w,
                           nb=nb, cells=cells),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n, nb, cells), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((n + pad_n, nb, cells),
+                                        jnp.float32)],
         interpret=interpret,
     )(jnp.clip(lvl, 0, l - 1), y0, x0, theta, ry, rx, wv, w_spatial, gauss)
-    return raw
+    return raw[:n]
 
 
 @functools.partial(jax.jit,
@@ -486,12 +507,16 @@ def sample_grad_patches_sep(gauss: jnp.ndarray, lvl: jnp.ndarray,
     l, h, w = gauss.shape
     n, gr = ys_rows.shape
     gc = xs_cols.shape[1]
-    assert n % _G == 0, (n, _G)
     assert pr % 8 == 0 and pc % 128 == 0, (pr, pc)
 
     inb = ((ys_rows >= 0) & (ys_rows <= h - 1))[:, :, None] \
         & ((xs_cols >= 0) & (xs_cols <= w - 1))[:, None, :]
     inb = inb.reshape(n, gr * gc)
+    pad_n = (-n) % _G
+    if pad_n:
+        lvl = jnp.pad(lvl, (0, pad_n))
+        ys_rows = jnp.pad(ys_rows, ((0, pad_n), (0, 0)))
+        xs_cols = jnp.pad(xs_cols, ((0, pad_n), (0, 0)))
     ys = jnp.clip(ys_rows, 0.0, h - 1.000001)
     xs = jnp.clip(xs_cols, 0.0, w - 1.000001)
 
@@ -509,7 +534,7 @@ def sample_grad_patches_sep(gauss: jnp.ndarray, lvl: jnp.ndarray,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n // _G,),
+        grid=((n + pad_n) // _G,),
         in_specs=[
             pl.BlockSpec((_G, gr), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -532,11 +557,11 @@ def sample_grad_patches_sep(gauss: jnp.ndarray, lvl: jnp.ndarray,
         functools.partial(_kernel_sep, pr=pr, pc=pc, h=h, w=w,
                           gr=gr, gc=gc),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n, gr, gc), jnp.float32),
-                   jax.ShapeDtypeStruct((n, gr, gc), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((n + pad_n, gr, gc), jnp.float32),
+                   jax.ShapeDtypeStruct((n + pad_n, gr, gc), jnp.float32)],
         interpret=interpret,
     )(jnp.clip(lvl, 0, l - 1), y0, x0, ry, rx, gauss)
-    return dx.reshape(n, gr * gc), dy.reshape(n, gr * gc), inb
+    return (dx[:n].reshape(n, gr * gc), dy[:n].reshape(n, gr * gc), inb)
 
 
 @functools.partial(jax.jit,
@@ -559,10 +584,16 @@ def sample_grad_patches(gauss: jnp.ndarray, lvl: jnp.ndarray,
     """
     l, h, w = gauss.shape
     n, s = ys.shape
-    assert n % _G == 0, (n, _G)
     assert pr % 8 == 0 and pc % 128 == 0, (pr, pc)
 
     inb = (ys >= 0) & (ys <= h - 1) & (xs >= 0) & (xs <= w - 1)
+    # pad the slot count to the grid group (dead slots sample patch (0,0);
+    # their outputs are sliced off below)
+    pad_n = (-n) % _G
+    if pad_n:
+        lvl = jnp.pad(lvl, (0, pad_n))
+        ys = jnp.pad(ys, ((0, pad_n), (0, 0)))
+        xs = jnp.pad(xs, ((0, pad_n), (0, 0)))
     ys = jnp.clip(ys, 0.0, h - 1.000001)
     xs = jnp.clip(xs, 0.0, w - 1.000001)
 
@@ -604,9 +635,10 @@ def sample_grad_patches(gauss: jnp.ndarray, lvl: jnp.ndarray,
         checkify.check(jnp.all((lvl >= 0) & (lvl < l)),
                        "sampler: level index out of range")
 
+    np_ = n + pad_n
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n // _G,),
+        grid=(np_ // _G,),
         in_specs=[
             pl.BlockSpec((_G, s), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -629,8 +661,8 @@ def sample_grad_patches(gauss: jnp.ndarray, lvl: jnp.ndarray,
         functools.partial(_kernel, pr=pr, pc=pc, h=h, w=w,
                           bf16_dots=bf16_dots),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n, s), jnp.float32),
-                   jax.ShapeDtypeStruct((n, s), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((np_, s), jnp.float32),
+                   jax.ShapeDtypeStruct((np_, s), jnp.float32)],
         interpret=interpret,
     )(jnp.clip(lvl, 0, l - 1), y0, x0, ry, rx, gauss)
-    return dx, dy, inb
+    return dx[:n], dy[:n], inb

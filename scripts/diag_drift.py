@@ -77,10 +77,17 @@ def main():
     ap.add_argument("--map-min-obs", type=int, default=4)
     ap.add_argument("--map-min-anchor", type=int, default=24)
     ap.add_argument("--map-gain", type=float, default=0.4)
+    ap.add_argument("--sim3-gate", default="speed", choices=("speed", "off"))
+    ap.add_argument("--gate-margin", type=float, default=1.15)
+    ap.add_argument("--path", default="loop",
+                    choices=("loop", "sweep", "forward"))
+    ap.add_argument("--near", type=float, default=3.0)
+    ap.add_argument("--far", type=float, default=6.0)
     args = ap.parse_args()
 
     seq = two_plane_sequence(n_frames=args.frames, h=240, w=320, seed=3,
-                             motion_scale=0.9, path="loop",
+                             motion_scale=0.9, path=args.path,
+                             near=args.near, far=args.far,
                              amplitude=args.amplitude)
     vo_cfg = VOConfig(max_keyframes=args.max_keyframes,
                       kf_evict=args.kf_evict, track_ref=args.track_ref,
@@ -92,7 +99,9 @@ def main():
                       map_min_inliers=args.map_min_inliers,
                       map_min_obs=args.map_min_obs,
                       map_min_anchor=args.map_min_anchor,
-                      map_scale_gain=args.map_gain)
+                      map_scale_gain=args.map_gain,
+                      sim3_gate=args.sim3_gate,
+                      sim3_gate_margin=args.gate_margin)
     from cusift_tpu.config import PoseGraphConfig
     pg_cfg = PoseGraphConfig(huber_delta=args.huber,
                              robust_kernel=args.kernel)
@@ -108,6 +117,7 @@ def main():
                        with_scale=True)
     print(json.dumps({
         "n_kf": vo.n_kf, "closures": vo.n_closures,
+        "gate_rejects": vo.n_gate_rejects,
         "tracked": sum(1 for s in vo.stats if s["ok"]),
         "pnp_tracked": sum(1 for s in vo.stats if s.get("pnp_ok")),
         "ate": round(float(ate), 4), "ate_raw": round(float(ate_raw), 4),
@@ -149,6 +159,8 @@ def main():
     if getattr(vo, "_corr", None) is not None:
         cs = vo._corr[2][:vo.n_kf]
         print("sim3 node scales:", " ".join(f"{v:.3f}" for v in cs[::4]))
+    for rec in vo.gate_log:
+        print("gate:", json.dumps(rec))
     if args.map_anchor:
         # anchor observables: how often the map fired and which way the
         # anchored median pulled relative to the pair chain's estimate

@@ -66,10 +66,22 @@ def test_border_gradients_zero(rng):
     np.testing.assert_allclose(np.asarray(dy), 0.0, atol=1e-6)
 
 
-def test_capacity_assertion(rng):
-    gauss, lvl, ys, xs = _setup(rng, N=12)  # not a multiple of 8
-    with pytest.raises(AssertionError):
-        sample_grad_patches(gauss, lvl, ys, xs, pr=48, interpret=True)
+def test_non_group_multiple_slot_count_pads(rng):
+    """Slot counts that don't divide the grid group are padded, not
+    rejected (round 4: the group size G became a tuned parameter — 32 on
+    v5e — so callers' 8-aligned slot counts need the pad path), and the
+    padded lanes change nothing."""
+    gauss, lvl, ys, xs = _setup(rng, N=12)  # not a multiple of any group
+    dx, dy, inb = sample_grad_patches(gauss, lvl, ys, xs, pr=48,
+                                      interpret=True, bf16_dots=False)
+    assert dx.shape == ys.shape and dy.shape == ys.shape
+    dx2, dy2, _ = sample_grad_patches(gauss, jnp.pad(lvl, (0, 4)),
+                                      jnp.pad(ys, ((0, 4), (0, 0))),
+                                      jnp.pad(xs, ((0, 4), (0, 0))),
+                                      pr=48, interpret=True,
+                                      bf16_dots=False)
+    np.testing.assert_array_equal(np.asarray(dx), np.asarray(dx2[:12]))
+    np.testing.assert_array_equal(np.asarray(dy), np.asarray(dy2[:12]))
 
 
 def test_fused_octave_matches_xla(rng, test_image):

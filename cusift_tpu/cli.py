@@ -270,7 +270,8 @@ def cmd_odo(args):
         gt = (seq.poses_r, seq.poses_t)
 
     from .config import VOConfig
-    vo_cfg = (VOConfig(map_anchor=args.map_anchor, kf_evict=args.kf_evict)
+    vo_cfg = (VOConfig(map_anchor=args.map_anchor, kf_evict=args.kf_evict,
+                       sim3_gate=args.sim3_gate)
               if (args.loop or args.map_anchor) else None)
     if args.dist:
         from .parallel.mesh import init_distributed
@@ -452,6 +453,12 @@ def main(argv=None):
     o.add_argument("--kf-evict", choices=("redundant", "oldest", "none"),
                    default="redundant",
                    help="keyframe eviction policy once the ring is full")
+    o.add_argument("--sim3-gate", choices=("speed", "off"), default="speed",
+                   help="health gate on each Sim(3) correction solve: "
+                        "reject solves whose keyframe speed profile gets "
+                        "less uniform than the raw chain's (poisoned loop "
+                        "scale observables); rejected solves keep the "
+                        "last accepted correction")
     o.add_argument("--save", help="checkpoint VO state to this npz at end")
     o.add_argument("--resume", help="restore VO state from this npz first")
     o.add_argument("--dist", action="store_true",

@@ -41,13 +41,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# keypoints per grid step.  32 is the measured optimum on v5e (round-4
-# chip sweep of the headline pipeline, kpts/s: G=8 778.0k, 16 781.1k,
-# **32 794.5k**, 64 791.5k, 128 784.4k): larger groups amortise the
-# per-grid-step overhead (block index math, DMA semaphore round) and let
-# the G in-flight patch DMAs overlap deeper, until VMEM pressure and
-# tail quantisation turn it back down.  Env-tunable for perf probes.
-_G = int(os.environ.get("CUSIFT_SAMPLER_GROUP", "32"))
+# keypoints per grid step.  48 is the measured optimum on v5e (round-4
+# chip sweeps of the headline pipeline: at 5120 cap G=8 778.0k, 16
+# 781.1k, 32 794.5k, 64 791.5k, 128 784.4k kpts/s; at the adopted 6144
+# cap G=32 800-802k vs **G=48 806k**): larger groups amortise the
+# per-grid-step overhead (block index math, DMA semaphore round) and
+# let the G in-flight patch DMAs overlap deeper, until VMEM pressure
+# and tail quantisation turn it back down.  Env-tunable for perf probes.
+_G = int(os.environ.get("CUSIFT_SAMPLER_GROUP", "48"))
 
 
 def _kernel(lvl_ref, y0_ref, x0_ref,          # scalar prefetch [N]

@@ -338,11 +338,21 @@ class VOConfig:
     # multiplicative scale chain steps once per KEYFRAME instead of once
     # per frame.  "keyframe" is mutually exclusive with map_anchor (the
     # map localiser's device pose state assumes prev-frame relatives).
+    # Measured win regime (round 4, the forward/KITTI-like motion it was
+    # designed for — persistent structure, strong per-frame parallax):
+    # t_pct 20.5 vs the chain's 29.5, ATE 2.53% vs 3.25% of path
+    # (BASELINE.md forward-regime table); on lateral loop scenes it is
+    # ~parity, so "prev" stays the default for generic rigs.
     track_ref: str = "prev"
     # persistent-map scale anchoring (models/monomap.py): localise every
     # frame against a landmark map with PnP RANSAC instead of trusting the
     # per-pair depth-ratio scale chain (whose coherent error random-walks
-    # multiplicatively — BASELINE.md round-3 drift campaign)
+    # multiplicatively — BASELINE.md round-3 drift campaign).
+    # EXPERIMENTAL — FROZEN (round-4 decision): measured parity-to-worse
+    # on every synthetic regime INCLUDING the forward/persistent-structure
+    # one it was designed for (t_pct 32.5 vs the chain's 29.5; the anchor
+    # observable s_med/scale pins at ~1.0 — it measures the chain against
+    # itself).  Kept for real-data evaluation only; not grown further.
     map_anchor: bool = False
     map_size: int = 8192            # landmark table capacity
     map_active_kf: int = 6          # match only landmarks seen this recently

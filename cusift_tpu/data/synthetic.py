@@ -320,7 +320,9 @@ def two_plane_stereo_sequence(n_frames: int = 8, h: int = 480, w: int = 640,
                               seed: int = 0, near: float = 3.0,
                               far: float = 6.0, motion_scale: float = 1.0,
                               path: str = "sweep", amplitude: float = 1.0,
-                              baseline: float = 0.12) -> StereoSequence:
+                              baseline: float = 0.12,
+                              blobs: int = 300,
+                              detail_octaves: int = 1) -> StereoSequence:
     """Rectified stereo variant of `two_plane_sequence` (KITTI-style rig).
 
     The right camera shares the left's orientation and sits `baseline`
@@ -332,8 +334,12 @@ def two_plane_stereo_sequence(n_frames: int = 8, h: int = 480, w: int = 640,
     """
     intr = DEFAULT_INTR * np.array([w / 640.0, h / 480.0,
                                     w / 640.0, h / 480.0], np.float32)
-    tex = {-1: textured_image(h, w, seed=seed, blobs=300, detail=0.25),
-           +1: textured_image(h, w, seed=seed + 101, blobs=300, detail=0.25)}
+    # blobs/detail_octaves tune the keypoint yield (the north-star
+    # wall-clock runs want >= 2k keypoints/frame like the bench scene)
+    tex = {-1: textured_image(h, w, seed=seed, blobs=blobs, detail=0.25,
+                              detail_octaves=detail_octaves),
+           +1: textured_image(h, w, seed=seed + 101, blobs=blobs,
+                              detail=0.25, detail_octaves=detail_octaves)}
     il, ir, depths, rots, trans, stamps = [], [], [], [], [], []
     tb = np.array([baseline, 0.0, 0.0])
     for f in range(n_frames):

@@ -628,6 +628,21 @@ class MonoVO:
             m_r = r_prev @ r_new.T
             m_t = t_prev - m_r @ t_new
             self._edges.append((i - 1, i, m_r, m_t, 1.0, 1.0))
+        if getattr(self, "_corr", None) is not None and i > 0:
+            # compose the new keyframe onto the CORRECTED map: a slot
+            # inserted after the last Sim(3) solve would otherwise hold
+            # an identity correction row, and every frame riding it
+            # composes relative-as-absolute garbage (measured: the
+            # 1000-frame soak's corrected tail).  Inherit the
+            # predecessor's correction through the raw relative motion:
+            # corrected_i = (R_rel, t_rel/cs_{i-1}) ∘ corrected_{i-1},
+            # stored in the (cr, ct, cs) chart trajectory() composes.
+            cr, ct, cs = self._corr
+            r_rel = r_new @ self._kf_pose_r[i - 1].T
+            t_rel = t_new - r_rel @ self._kf_pose_t[i - 1]
+            cr[i] = r_rel @ cr[i - 1]
+            ct[i] = r_rel @ ct[i - 1] + t_rel
+            cs[i] = cs[i - 1]
         self._kf_frame.append(len(self.poses_r) - 1)
         self.n_kf = i + 1
         self.n_kf_total += 1

@@ -32,3 +32,31 @@ echo "=== [task 8] forward regime: track_ref=keyframe" >&2
 $CPU timeout 5400 $PY scripts/diag_drift.py --path forward --near 8 \
     --far 20 --amplitude 7 --frames 150 --track-ref keyframe \
     2>/tmp/fwd_kf.err | grep -v "t_err" | head -12
+
+echo "=== [task 5] mono windowed-BA ratio on the odometry fixture" >&2
+$CPU timeout 3600 $PY - <<'EOF' 2>/tmp/ba_ratio.err
+import json
+import numpy as np
+from cusift_tpu.config import RansacConfig, SiftConfig
+from cusift_tpu.data.evaluation import ate_rmse
+from cusift_tpu.data.synthetic import two_plane_sequence
+from cusift_tpu.models.odometry import MonoVO
+
+# the exact fixture tests/test_odometry.py::seq + SIFT use
+SIFT = SiftConfig(max_kpts=768, max_kpts_per_octave=512, num_octaves=4,
+                  upscale=False)
+seq = two_plane_sequence(n_frames=6, h=240, w=320, seed=3,
+                         near=3.0, far=6.0, motion_scale=0.6)
+
+def run(w):
+    vo = MonoVO(seq.intr, sift_cfg=SIFT,
+                ransac_cfg=RansacConfig(inlier_thresh_epi=4e-3),
+                ba_window=w, ba_every=1)
+    er, et = vo.run(list(seq.images))
+    return float(ate_rmse(er, et, seq.poses_r, seq.poses_t,
+                          with_scale=True))
+
+raw, ba = run(0), run(4)
+print(json.dumps({"ate_raw": raw, "ate_ba": ba,
+                  "ratio": round(ba / max(raw, 1e-12), 3)}))
+EOF

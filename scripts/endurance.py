@@ -93,10 +93,16 @@ def main():
     baseline = 0.12
     tb = np.array([baseline, 0.0, 0.0])
 
+    # Tile the PROVEN 300-frame circuit: the loop path returns exactly to
+    # the start pose at s=1, so repeating it is continuous — the camera
+    # revisits the same world ~n/300 times with the same per-frame
+    # baseline as the validated soak.  (Scaling the amplitude with n was
+    # measured broken: a 4541-frame circuit at amplitude 6*n/300 swings
+    # the camera ~10x beyond the 3-6 m planes and tracking dies.)
+    cycle = 300
+
     def pose(f):
-        # KITTI-like closed circuit at per-frame baseline ~5 cm: the loop
-        # path of two_plane_sequence with amplitude scaled to frame count
-        return _two_plane_pose(f, n, "loop", 0.9, amplitude=6.0 * n / 300.0)
+        return _two_plane_pose(f % cycle, cycle, "loop", 0.9, amplitude=6.0)
 
     def render(f):
         r_wc, t_wc = pose(f)

@@ -4,6 +4,7 @@
 # task 2) plus the KITTI-00-length endurance run (task 7).
 set -u
 cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
 echo "=== mono 300-frame longrun" >&2
 timeout 3000 python scripts/tpu_longrun.py 2>>/tmp/northstar_r4.err
 echo "=== stereo+rgbd longrun (2k kpts, chunks 1/8/32)" >&2

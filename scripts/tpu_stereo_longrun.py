@@ -83,9 +83,12 @@ def main():
     print(json.dumps({"device": str(jax.devices()[0])}), flush=True)
     seqs = {}
     if "stereo" in args.modes:
+        # blobs=800 + 4 detail octaves: the bench scene's texture recipe,
+        # so the run carries >= 2k valid keypoints/frame (the north-star
+        # phrase) instead of the sparse default's ~780
         seqs["stereo"] = two_plane_stereo_sequence(
             n_frames=args.frames, h=480, w=640, seed=3, motion_scale=0.9,
-            path="loop", amplitude=6.0)
+            path="loop", amplitude=6.0, blobs=800, detail_octaves=4)
     if "rgbd" in args.modes:
         seqs["rgbd"] = planar_rgbd_sequence(
             n_frames=args.frames, h=480, w=640, seed=3, motion_scale=0.9)

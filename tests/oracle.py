@@ -46,19 +46,25 @@ def cosine(a, b, axis=-1):
     return num / np.maximum(den, 1e-12)
 
 
-def cv2_sift_oracle(img01, n_features=0, contrast=0.04, edge=10, sigma=1.6):
-    """Run cv2.SIFT on a [0,1] float image; returns (xy, sigma, angle_rad, desc)."""
+def cv2_sift_oracle(img01, n_features=0, contrast=0.04, edge=10, sigma=1.6,
+                    with_response=False):
+    """Run cv2.SIFT on a [0,1] float image; returns (xy, sigma, angle_rad,
+    desc[, response])."""
     import cv2
     u8 = np.clip(img01 * 255.0, 0, 255).astype(np.uint8)
     sift = cv2.SIFT_create(nfeatures=n_features, contrastThreshold=contrast,
                            edgeThreshold=edge, sigma=sigma)
     kps, desc = sift.detectAndCompute(u8, None)
     if not kps:
-        return (np.zeros((0, 2)), np.zeros((0,)), np.zeros((0,)),
-                np.zeros((0, 128)))
+        out = (np.zeros((0, 2)), np.zeros((0,)), np.zeros((0,)),
+               np.zeros((0, 128)))
+        return out + (np.zeros((0,)),) if with_response else out
     xy = np.array([k.pt for k in kps], np.float32)
     sig = np.array([k.size * 0.5 for k in kps], np.float32)
     ang = np.array([np.deg2rad(k.angle) for k in kps], np.float32)
     desc = np.asarray(desc, np.float32)
     desc /= np.maximum(np.linalg.norm(desc, axis=-1, keepdims=True), 1e-9)
+    if with_response:
+        resp = np.array([k.response for k in kps], np.float32)
+        return xy, sig, ang, desc, resp
     return xy, sig, ang, desc

@@ -189,6 +189,145 @@ def test_mono_remove_keyframe_slot_splices_sim3_edges():
     np.testing.assert_allclose(vo._kf_pose_t[3], poses[4][1], atol=1e-6)
 
 
+@pytest.mark.slow
+def test_long_poisoned_soak_correction_never_worse_than_raw():
+    """1000-frame sub-SNR regime (VERDICT r3 task 3): the scale chain
+    collapses coherently and poisons the loop edges' med_b/med_a scale
+    observables — round 3 measured the Sim(3) CORRECTION ending worse
+    than raw (ATE 14.7% vs 11.0% of path).  Round 4's two fixes must
+    hold the line: the speed-dispersion health gate rejects the poisoned
+    solves (measured: 8 rejects in the collapse window) and keyframes
+    inserted after a solve inherit their predecessor's correction (the
+    identity-row tail was half the damage).  The engine must never ship
+    an output layer that degrades its input."""
+    seq = two_plane_sequence(n_frames=1000, h=240, w=320, seed=3,
+                             motion_scale=0.9, path="loop", amplitude=20.0)
+    vo_cfg = VOConfig(max_keyframes=64, kf_every=4, loop_temporal_gap=30,
+                      loop_min_inliers=25, loop_min_score=0.05,
+                      loop_min_common=8)
+    vo = MonoVO(seq.intr, sift_cfg=SIFT, vo_cfg=vo_cfg)
+    er, et = vo.run(iter(seq.images))
+
+    assert vo.n_closures >= 20          # the regime actually closes loops
+    assert vo.n_gate_rejects >= 1       # ...and the gate actually fires
+    ate = ate_rmse(er, et, seq.poses_r, seq.poses_t, with_scale=True)
+    raw_r, raw_t = np.stack(vo.poses_r), np.stack(vo.poses_t)
+    ate_raw = ate_rmse(raw_r, raw_t, seq.poses_r, seq.poses_t,
+                       with_scale=True)
+    # the hard guarantee: corrected never worse than raw (measured
+    # 4.468 vs 4.471 — essentially raw, vs 5.87 in round 3)
+    assert ate <= ate_raw * 1.02 + 1e-6, (ate, ate_raw)
+    t_corr = _drift_pct(er, et, seq.poses_r, seq.poses_t)
+    t_raw = _drift_pct(raw_r, raw_t, seq.poses_r, seq.poses_t)
+    assert t_corr <= t_raw * 1.05 + 1e-6, (t_corr, t_raw)
+
+
+def test_corr_inheritance_on_insert():
+    """Keyframes inserted after a Sim(3) solve inherit the predecessor's
+    correction through the raw relative motion (without this, frames
+    riding them compose relative-as-absolute garbage — the round-3
+    1000-frame corrected tail)."""
+    intr = np.array([200.0, 200.0, 160.0, 120.0], np.float32)
+    vo = MonoVO(intr, sift_cfg=SIFT,
+                vo_cfg=VOConfig(max_keyframes=8, loop_temporal_gap=50))
+
+    def rot_z(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+
+    # seed one keyframe + a stored correction for it
+    n = vo.sift_cfg.total_kpts
+    vo._feats = vo._unpack_feats(np.zeros((n, 136), np.float32))
+    vo._depth = np.zeros(n, np.float32)
+    vo.poses_r = [np.eye(3, dtype=np.float32)]
+    vo.poses_t = [np.zeros(3, np.float32)]
+    assert vo._insert_keyframe()
+    kf = 8
+    cr = np.broadcast_to(np.eye(3, dtype=np.float32), (kf, 3, 3)).copy()
+    ct = np.zeros((kf, 3), np.float32)
+    cs = np.ones(kf, np.float32)
+    cr[0] = rot_z(0.3)
+    ct[0] = np.array([1.0, 2.0, 3.0], np.float32)
+    cs[0] = 2.0
+    vo._corr = (cr, ct, cs)
+
+    # advance the raw chain and insert keyframe 1
+    r1, t1 = rot_z(0.1), np.array([0.5, 0.0, 0.1], np.float32)
+    vo.poses_r.append(r1)
+    vo.poses_t.append(t1)
+    assert vo._insert_keyframe()
+    vo._frame_ref = [0, 1]   # frame k rides keyframe k (as process() sets)
+    cr2, ct2, cs2 = vo._corr
+    r_rel = r1 @ np.eye(3, dtype=np.float32).T
+    t_rel = t1 - r_rel @ np.zeros(3, np.float32)
+    np.testing.assert_allclose(cr2[1], r_rel @ cr[0], atol=1e-6)
+    np.testing.assert_allclose(ct2[1], r_rel @ ct[0] + t_rel, atol=1e-6)
+    assert cs2[1] == cs[0]
+    # trajectory() at the new keyframe composes the inherited correction
+    rs, ts = vo.trajectory()
+    np.testing.assert_allclose(rs[1], r_rel @ cr[0], atol=1e-6)
+    np.testing.assert_allclose(
+        ts[1], r_rel @ (ct[0] / cs[0]) + t_rel / cs[0], atol=1e-6)
+
+
+@pytest.mark.slow
+def test_mono_windowed_ba_reduces_drift():
+    """The mono BA accuracy win, end-to-end (VERDICT r3 task 5: the SLAM
+    side had a BA-improves assertion, the mono side only a no-worse
+    guard).  On a 100-frame drift-prone loop the windowed BA measurably
+    reduces both ATE and KITTI segment drift (measured: ATE 10.23% ->
+    8.74% of path, t_pct 36.2 -> 26.0)."""
+    seq = two_plane_sequence(n_frames=100, h=240, w=320, seed=3,
+                             motion_scale=0.9, path="loop", amplitude=6.0)
+    vo_cfg = VOConfig(max_keyframes=96, kf_every=4, loop_temporal_gap=30,
+                      loop_min_inliers=25, loop_min_score=0.05,
+                      loop_min_common=8)
+
+    def run(w):
+        vo = MonoVO(seq.intr, sift_cfg=SIFT, vo_cfg=vo_cfg, ba_window=w)
+        er, et = vo.run(iter(seq.images))
+        ate = ate_rmse(er, et, seq.poses_r, seq.poses_t, with_scale=True)
+        return float(ate), _drift_pct(er, et, seq.poses_r, seq.poses_t)
+
+    ate0, t0 = run(0)
+    ate4, t4 = run(4)
+    assert ate4 < ate0 * 0.95, (ate4, ate0)
+    assert t4 < t0 * 0.85, (t4, t0)
+
+
+def test_speed_dispersion_gate_observable():
+    """The Sim(3) gate's signal separates a genuine drift correction from
+    a poisoned one: a correction whose node scales RESTORE a uniform
+    camera speed lowers the log-speed dispersion; one that injects a
+    bogus scale step raises it."""
+    rng = np.random.default_rng(0)
+    n = 20
+    frames = list(range(0, 4 * n, 4))
+    pose_r = np.broadcast_to(np.eye(3, dtype=np.float32), (n, 3, 3)).copy()
+    # raw chain: camera walks +x at a drifting scale (multiplicative
+    # random walk) — centres c = -t for identity rotations
+    step = np.exp(np.cumsum(rng.normal(0, 0.08, n)))
+    cx = np.cumsum(step)
+    pose_t = np.zeros((n, 3), np.float32)
+    pose_t[:, 0] = -cx
+    sig_raw = MonoVO._speed_dispersion(pose_r, pose_t, None, frames)
+
+    # genuine correction: node scales equal to the accumulated drift, so
+    # corrected centres advance uniformly -> dispersion collapses
+    scales = np.zeros(n, np.float32)
+    uniform = np.arange(1, n + 1, dtype=np.float32)
+    scales = (cx / uniform).astype(np.float32)
+    sig_good = MonoVO._speed_dispersion(pose_r, pose_t, scales, frames)
+    assert sig_good < 0.25 * sig_raw, (sig_good, sig_raw)
+
+    # poisoned correction: an x8 scale step mid-chain (the 1000-frame
+    # soak's chain-collapse observable applied as a node scale)
+    bad = np.ones(n, np.float32)
+    bad[n // 2:] = 8.0
+    sig_bad = MonoVO._speed_dispersion(pose_r, pose_t, bad, frames)
+    assert sig_bad > 1.5 * sig_raw, (sig_bad, sig_raw)
+
+
 def test_keyframe_referenced_tracking_mode():
     """track_ref="keyframe": frames track the last keyframe, not the
     previous frame — the pair baseline grows ~kf_every-fold and the scale

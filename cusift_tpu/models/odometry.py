@@ -343,13 +343,21 @@ class MonoVO:
                                 self.sift_cfg.border)
         return f
 
-    def process(self, img: np.ndarray) -> dict | None:
-        """Feed the next grayscale frame ([H, W] float in [0, 1])."""
-        img = np.asarray(img, np.float32)
-        if self.pad_to_tier:
-            from ..utils.image import pad_to_tier as _pad
-            img, self._content = _pad(img)
-        dimg = jnp.asarray(img)
+    def process(self, img) -> dict | None:
+        """Feed the next grayscale frame ([H, W] float in [0, 1]).
+
+        Accepts a host array, or a DEVICE array pre-uploaded by `run`'s
+        prefetcher (uploads cost ~34 ms each on the axon tunnel; the
+        feeder thread hides them behind the previous frame's compute).
+        """
+        if isinstance(img, jax.Array):
+            dimg = img
+        else:
+            img = np.asarray(img, np.float32)
+            if self.pad_to_tier:
+                from ..utils.image import pad_to_tier as _pad
+                img, self._content = _pad(img)
+            dimg = jnp.asarray(img)
         if self._feats is None:
             self._feats = self._extract(dimg)
             n = self._feats.valid.shape[0]
@@ -1064,8 +1072,22 @@ class MonoVO:
                                  if "map_inl" in z else None)
 
     def run(self, frames, max_frames: int | None = None) -> tuple:
-        for i, img in enumerate(frames):
+        if self.pad_to_tier:
+            # tier padding computes per-frame content metadata on the
+            # host; keep the simple synchronous path
+            for i, img in enumerate(frames):
+                if max_frames is not None and i >= max_frames:
+                    break
+                self.process(img)
+            return self.trajectory()
+        from ..utils.pipeline import _prefetched
+
+        def produce(emit):
+            for img in frames:
+                emit(jax.device_put(np.asarray(img, np.float32)))
+
+        for i, dimg in enumerate(_prefetched(produce, prefetch=2)):
             if max_frames is not None and i >= max_frames:
                 break
-            self.process(img)
+            self.process(dimg)
         return self.trajectory()

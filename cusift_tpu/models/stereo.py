@@ -21,7 +21,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import MatchConfig, RansacConfig, SiftConfig
 from ..ops.geometry import backproject

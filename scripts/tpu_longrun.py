@@ -35,10 +35,9 @@ def main():
     vo.process(seq.images[0])
     compile_s = time.time() - t0
     t0 = time.time()
-    for img in seq.images[1:]:
-        vo.process(img)
+    # run() prefetches uploads on a feeder thread (~34 ms/frame hidden)
+    er, et = vo.run(iter(seq.images[1:]))
     dt = time.time() - t0
-    er, et = vo.trajectory()
     ate = ate_rmse(er, et, seq.poses_r, seq.poses_t, with_scale=True)
     raw_r, raw_t = np.stack(vo.poses_r), np.stack(vo.poses_t)
     ate_raw = ate_rmse(raw_r, raw_t, seq.poses_r, seq.poses_t,

@@ -93,7 +93,11 @@ def test_stereo_loop_soak_metric_drift():
     scale chain measures 37.6% KITTI translation drift after scale
     alignment (BASELINE.md); stereo's per-feature metric depth holds
     ~10% WITHOUT any alignment, through ring eviction (24 slots for ~
-    40+ promotions) and loop closure.
+    40+ promotions) and loop closure.  dist_ba=True runs every windowed
+    BA solve landmark-sharded over the virtual 8-device mesh — the full
+    configs[4] combination (streaming dist-BA x eviction x closures) at
+    soak length (VERDICT r3 task 4; the 4,541-frame single-device run
+    lives in BASELINE.md round 4).
     """
     from cusift_tpu.data.evaluation import kitti_drift, \
         trajectory_path_length
@@ -103,7 +107,9 @@ def test_stereo_loop_soak_metric_drift():
                                     amplitude=6.0)
     slam = StereoSlam(seq.intr, seq.baseline, sift_cfg=SIFT,
                       slam_cfg=SlamConfig(max_keyframes=24,
-                                          loop_temporal_gap=8))
+                                          loop_temporal_gap=8),
+                      dist_ba=True)
+    assert slam._ba_mesh is not None
     recs = slam.run(zip(seq.images_l, seq.images_r))
     assert sum(r.get("tracked", True) for r in recs) >= 145
     assert slam.state.n_kf == 24      # ring at capacity, still inserting

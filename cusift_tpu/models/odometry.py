@@ -133,7 +133,7 @@ def pair_step(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
 @partial(jax.jit, static_argnames=("match_cfg", "ransac_cfg"))
 def _loop_verify_step(desc, valid, xyn, depth,
                       kf_desc, kf_valid, kf_xyn, kf_depth,
-                      limit, exclude_lo, min_score, min_inliers, min_common,
+                      gates,
                       match_cfg: MatchConfig, ransac_cfg: RansacConfig, key):
     """Monocular loop-closure retrieval + essential verification + scales.
 
@@ -153,13 +153,18 @@ def _loop_verify_step(desc, valid, xyn, depth,
     observable the Sim(3) pose graph (optim/sim3graph.py) consumes.
 
     Keyframes with index in [exclude_lo, limit) are the recent temporal
-    neighbours and are excluded from retrieval.
+    neighbours and are excluded from retrieval.  `gates` is a [5] f32
+    device array (limit, exclude_lo, min_score, min_inliers, min_common):
+    ONE packed upload — each small host->device transfer costs ~34 ms on
+    the axon tunnel, per keyframe event (round-4 loop profile).
     """
     from .slam import _kf_scores
 
     from ..config import replace as cfg_replace
     from ..ops.ransac import find_homography
 
+    limit, exclude_lo = gates[0], gates[1]
+    min_score, min_inliers, min_common = gates[2], gates[3], gates[4]
     idx = jnp.arange(kf_desc.shape[0])
     active = (idx < limit) & (idx < exclude_lo)
     scores = _kf_scores(desc, valid, kf_desc, kf_valid, active)
@@ -290,6 +295,9 @@ class MonoVO:
         self._last_rel = (np.eye(3, dtype=np.float32),
                           np.zeros(3, np.float32))
         self._key = jax.random.PRNGKey(ransac_cfg.seed)
+        # device-constant cache: every small host->device upload costs
+        # ~34 ms on the axon tunnel (ring indices, loop gates, perms)
+        self._dev_cache: dict = {}
         # device-side ring of (desc, valid, pts) for windowed BA
         self._ring: list[tuple] = []
         # sequence-scale frontend (keyframes + loop closure + pose graph)
@@ -334,6 +342,13 @@ class MonoVO:
                                   jnp.zeros(3, jnp.float32))
                 self._dev_rel = (jnp.eye(3, dtype=jnp.float32),
                                  jnp.zeros(3, jnp.float32))
+
+    def _dev(self, key, build):
+        """Cached device upload of a recurring small constant."""
+        v = self._dev_cache.get(key)
+        if v is None:
+            v = self._dev_cache[key] = jax.device_put(build())
+        return v
 
     def _extract(self, dimg):
         f = extract(dimg, self.sift_cfg)
@@ -455,7 +470,9 @@ class MonoVO:
                     t_new = (r_rel @ ref_t + t_rel).astype(np.float32)
                     r_fr = r_new @ r_prev.T
                     self._last_rel = (r_fr, t_new - r_fr @ t_prev)
-                    self._scale = jnp.float32(scale)
+                    # adopt the DEVICE-resident scale: re-uploading the
+                    # fetched float costs ~34 ms per frame on the tunnel
+                    self._scale = out.scale
                 self.poses_r.append(r_new)
                 self.poses_t.append(t_new)
                 # the REFERENCE's depth chain is trusted regardless of this
@@ -469,7 +486,8 @@ class MonoVO:
                     r_rel, t_rel = self._last_rel  # constant-velocity
                 else:
                     self._last_rel = (r_rel, t_rel)
-                    self._scale = jnp.float32(scale)
+                    # device-resident scale (no per-frame re-upload)
+                    self._scale = out.scale
                 self.poses_r.append((r_rel @ r_prev).astype(np.float32))
                 self.poses_t.append(
                     (r_rel @ t_prev + t_rel).astype(np.float32))
@@ -577,7 +595,7 @@ class MonoVO:
         kfcap = self.vo_cfg.max_keyframes
         perm = np.concatenate(
             [np.arange(v), np.arange(v + 1, kfcap), [v]]).astype(np.int32)
-        dperm = jnp.asarray(perm)
+        dperm = self._dev(("perm", v, kfcap), lambda: perm)
         self._kf_desc = self._kf_desc[dperm]
         self._kf_valid = self._kf_valid[dperm]
         self._kf_xyn = self._kf_xyn[dperm]
@@ -614,8 +632,9 @@ class MonoVO:
         xyn = jnp.stack([(f.x - cx) / fx, (f.y - cy) / fy], -1)
         # dynamic index (device scalar): a Python int would be baked into
         # the compiled update as a constant, recompiling once per ring row
-        # — ~max_keyframes compiles over a long run
-        di = jnp.int32(i)
+        # — ~max_keyframes compiles over a long run.  Cached: a fresh
+        # upload costs ~34 ms per insert on the tunnel.
+        di = self._dev(("i32", i), lambda: np.int32(i))
         self._kf_desc = self._kf_desc.at[di].set(f.desc)
         self._kf_valid = self._kf_valid.at[di].set(f.valid)
         self._kf_xyn = self._kf_xyn.at[di].set(xyn)
@@ -730,11 +749,13 @@ class MonoVO:
         f = self._feats
         fx, fy, cx, cy = (float(v) for v in self._intr_np)
         xyn = jnp.stack([(f.x - cx) / fx, (f.y - cy) / fy], -1)
+        gates = self._dev(("loopgate", j, exclude_lo), lambda: np.array(
+            [j, exclude_lo, cfg.loop_min_score, cfg.loop_min_inliers,
+             cfg.loop_min_common], np.float32))
         packed = np.asarray(_loop_verify_step(
             f.desc, f.valid, xyn, self._depth,
             self._kf_desc, self._kf_valid, self._kf_xyn, self._kf_depth,
-            j, exclude_lo, cfg.loop_min_score, cfg.loop_min_inliers,
-            cfg.loop_min_common, self.match_cfg, self.ransac_cfg, sub))
+            gates, self.match_cfg, self.ransac_cfg, sub))
         cand, score, ok, inl = (int(packed[0]), float(packed[1]),
                                 bool(packed[2] > 0.5), int(packed[3]))
         n_b, med_b, n_a, med_a = (int(packed[4]), float(packed[5]),
@@ -822,13 +843,29 @@ class MonoVO:
                                       np.float32), np.ones(pad, np.float32)])
         wt = np.concatenate([np.array([x[5] for x in self._edges],
                                       np.float32), np.zeros(pad, np.float32)])
+        # TWO packed uploads (int + float) instead of eight: each small
+        # host->device transfer costs ~34 ms on the tunnel, per closure
+        kf = self._kf_pose_r.shape[0]
+        iblob = jnp.asarray(np.concatenate([ei, ej]))
+        fblob = jnp.asarray(np.concatenate(
+            [self._kf_pose_r.ravel(), self._kf_pose_t.ravel(),
+             mr.ravel(), mt.ravel(), ms, wt]).astype(np.float32))
+        o = 0
+
+        def take(count, shape):
+            nonlocal o
+            out = fblob[o:o + count].reshape(shape)
+            o += count
+            return out
+
         g = Sim3Graph(
-            poses_r=jnp.asarray(self._kf_pose_r),
-            poses_t=jnp.asarray(self._kf_pose_t),
-            poses_s=jnp.ones(self._kf_pose_r.shape[0], jnp.float32),
-            edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
-            meas_r=jnp.asarray(mr), meas_t=jnp.asarray(mt),
-            meas_s=jnp.asarray(ms), weight=jnp.asarray(wt))
+            poses_r=take(kf * 9, (kf, 3, 3)),
+            poses_t=take(kf * 3, (kf, 3)),
+            poses_s=self._dev(("ones", kf), lambda: np.ones(kf, np.float32)),
+            edge_i=iblob[:cap], edge_j=iblob[cap:],
+            meas_r=take(cap * 9, (cap, 3, 3)),
+            meas_t=take(cap * 3, (cap, 3)),
+            meas_s=take(cap, (cap,)), weight=take(cap, (cap,)))
         res = sim3_optimize(g, self.pg_cfg)
         packed = np.array(jnp.concatenate([
             res.poses_r.reshape(-1), res.poses_t.reshape(-1), res.poses_s]))
@@ -889,20 +926,27 @@ class MonoVO:
         kv = jnp.stack([r[1] for r in self._ring])
         kp = jnp.stack([r[2] for r in self._ring])
         idxs = np.arange(len(self.poses_r) - w, len(self.poses_r))
-        r0 = jnp.asarray(np.stack([self.poses_r[i] for i in idxs]))
-        t0 = jnp.asarray(np.stack([self.poses_t[i] for i in idxs]))
+        # ONE packed upload for the window poses (~34 ms per transfer on
+        # the tunnel, every ba_every frames)
+        blob = jnp.asarray(np.concatenate(
+            [np.stack([self.poses_r[i] for i in idxs]).ravel(),
+             np.stack([self.poses_t[i] for i in idxs]).ravel()]
+        ).astype(np.float32))
+        r0 = blob[:w * 9].reshape(w, 3, 3)
+        t0 = blob[w * 9:].reshape(w, 3)
+        ones = self._dev(("ones", w), lambda: np.ones(w, np.float32))
         ba_cfg = BAConfig(max_iters=4, cg_iters=12, num_fixed_poses=2,
                           huber_delta=4.0)
         if self._ba_mesh is not None and self.ba_anchor == "newest":
             from ..parallel.dist_ba import window_ba_dist
             r, t, c0, c1 = window_ba_dist(
-                kd, kv, kp, r0, t0, self.intr, jnp.ones(w, jnp.float32),
+                kd, kv, kp, r0, t0, self.intr, ones,
                 self._ba_mesh, self.match_cfg, ba_cfg)
         else:
             # union anchoring is single-device only (see
             # SlamConfig.local_ba_anchor rationale in config.py)
             r, t, c0, c1 = window_ba(
-                kd, kv, kp, r0, t0, self.intr, jnp.ones(w, jnp.float32),
+                kd, kv, kp, r0, t0, self.intr, ones,
                 self.match_cfg, ba_cfg, anchor=self.ba_anchor)
         packed = np.array(jnp.concatenate([r.reshape(-1), t.reshape(-1)]))
         rs = packed[:w * 9].reshape(w, 3, 3)

@@ -107,7 +107,7 @@ def _chunk_step(frames, intr, ref_desc, ref_valid, ref_pts,
 
 @partial(jax.jit, static_argnames=("match_cfg", "ransac_cfg"))
 def _retrieve_verify_step(desc, valid, pts, kf_desc, kf_valid, kf_pts,
-                          limit, exclude,
+                          lim_ex,
                           match_cfg: MatchConfig, ransac_cfg: RansacConfig,
                           key):
     """Retrieval + geometric verification of the best map candidate.
@@ -115,8 +115,13 @@ def _retrieve_verify_step(desc, valid, pts, kf_desc, kf_valid, kf_pts,
     One XLA program, one packed [16] result (cand, score, ok, inliers,
     R, t) — shared by loop closure and relocalisation so neither pays the
     score-fetch + per-field rig fetches (~5 round-trips) the split form
-    cost.  `limit`/`exclude` build the active-keyframe mask on device.
+    cost.  `lim_ex` is a [2] int32 device array (limit, exclude) building
+    the active-keyframe mask on device: ONE packed upload, not two —
+    every small host->device transfer costs ~34 ms on the axon tunnel
+    (the round-4 loop profile measured the keyframe events almost
+    entirely upload-bound).
     """
+    limit, exclude = lim_ex[0], lim_ex[1]
     idx = jnp.arange(kf_desc.shape[0])
     active = (idx < limit) & (idx != exclude)
     scores = _kf_scores(desc, valid, kf_desc, kf_valid, active)
@@ -200,6 +205,10 @@ class Slam:
             edge_i=[], edge_j=[], meas_r=[], meas_t=[], weight=[],
             traj_ref=[], traj_rel_r=[], traj_rel_t=[], traj_ok=[])
         self.metrics: list[dict] = []
+        # device-constant cache: every small host->device upload costs
+        # ~34 ms on the axon tunnel, so values that recur (ring indices,
+        # retrieval masks, unit weights) are uploaded once and reused
+        self._dev_cache: dict = {}
         # chunked-run in-flight reference slot holder (see _run_chunked)
         self._chunk_ref: list | None = None
         # optional per-frame callback (e.g. streaming JSONL metrics); called
@@ -215,13 +224,21 @@ class Slam:
 
     # ---------- keyframe management ----------
 
+    def _dev(self, key, build):
+        """Cached device upload of a recurring small constant."""
+        v = self._dev_cache.get(key)
+        if v is None:
+            v = self._dev_cache[key] = jax.device_put(build())
+        return v
+
     def _add_keyframe(self, desc, valid, pts, pose_r, pose_t) -> int:
         s = self.state
         i = s.n_kf
         assert i < self.cfg.max_keyframes, "keyframe capacity exceeded"
         # dynamic index: a Python int bakes into the compiled update as a
-        # constant — one fresh XLA program per ring row over a long run
-        di = jnp.int32(i)
+        # constant — one fresh XLA program per ring row over a long run;
+        # cached device scalar — a fresh upload costs ~34 ms per insert
+        di = self._dev(("i32", i), lambda: np.int32(i))
         s.kf_desc = s.kf_desc.at[di].set(desc)
         s.kf_valid = s.kf_valid.at[di].set(valid)
         s.kf_pts = s.kf_pts.at[di].set(pts)
@@ -230,8 +247,10 @@ class Slam:
         s.n_kf = i + 1
         s.n_kf_total += 1
         # cache the new reference's committed views: passing lazy slices to
-        # the jitted step makes its dispatch block ~48 ms on the tunnel
-        self._ref_cache = (i, s.kf_desc[i], s.kf_valid[i], s.kf_pts[i])
+        # the jitted step makes its dispatch block ~48 ms on the tunnel.
+        # Index with the device scalar: a python-int gather bakes the row
+        # into the program and compiles once per ring slot.
+        self._ref_cache = (i, s.kf_desc[di], s.kf_valid[di], s.kf_pts[di])
         return i
 
     def _evict_keyframe(self):
@@ -310,15 +329,16 @@ class Slam:
                            spliced[2], spliced[3], spliced[4])
 
         # shift the device ring with one same-shape gather (indices are a
-        # traced argument: no recompile per victim); stale data parked in
-        # the freed top slot is overwritten by the insert that follows
+        # traced argument: no recompile per victim; cached device upload
+        # per victim slot — ~34 ms/upload on the tunnel); stale data
+        # parked in the freed top slot is overwritten by the next insert
         kfcap = self.cfg.max_keyframes
-        perm = jnp.asarray(np.concatenate(
-            [np.arange(v), np.arange(v + 1, kfcap), [v]]).astype(np.int32))
+        pnp = np.concatenate(
+            [np.arange(v), np.arange(v + 1, kfcap), [v]]).astype(np.int32)
+        perm = self._dev(("perm", v, kfcap), lambda: pnp)
         s.kf_desc = s.kf_desc[perm]
         s.kf_valid = s.kf_valid[perm]
         s.kf_pts = s.kf_pts[perm]
-        pnp = np.asarray(perm)
         s.kf_pose_r = s.kf_pose_r[pnp].copy()
         s.kf_pose_t = s.kf_pose_t[pnp].copy()
         s.n_kf -= 1
@@ -450,8 +470,11 @@ class Slam:
                 # rebase the tracking reference onto the recovered
                 # keyframe so following frames track it directly, even
                 # when the keyframe ring is full and nothing is inserted
-                self._ref_cache = (ref, s.kf_desc[ref], s.kf_valid[ref],
-                                   s.kf_pts[ref])
+                # (device-scalar index: python-int gathers compile one
+                # program per slot value)
+                dref = self._dev(("i32", ref), lambda: np.int32(ref))
+                self._ref_cache = (ref, s.kf_desc[dref], s.kf_valid[dref],
+                                   s.kf_pts[dref])
             else:
                 # still lost: copy the previous frame's relative pose AND
                 # its reference — in chunked runs `ref` may be stale (a
@@ -604,9 +627,11 @@ class Slam:
         if limit <= 0:
             return None
         s = self.state
+        lim_ex = self._dev(("lim_ex", limit, exclude),
+                           lambda: np.array([limit, exclude], np.int32))
         packed = np.asarray(_retrieve_verify_step(
             desc, valid, pts, s.kf_desc, s.kf_valid, s.kf_pts,
-            limit, exclude, self.match_cfg, self.ransac_cfg,
+            lim_ex, self.match_cfg, self.ransac_cfg,
             self._next_key()))
         cand, score, ok, inl = (int(packed[0]), float(packed[1]),
                                 bool(packed[2]), int(packed[3]))
@@ -661,14 +686,22 @@ class Slam:
         if w < 3 or s.n_kf < w:
             return
         idxs = np.arange(s.n_kf - w, s.n_kf)
-        di = jnp.asarray(idxs)
+        di = self._dev(("win", s.n_kf - w, s.n_kf),
+                       lambda: idxs.astype(np.int32))
         ba_cfg = BAConfig(max_iters=self.cfg.local_ba_iters,
                           cg_iters=self.cfg.local_ba_cg_iters,
                           num_fixed_poses=2,
                           huber_delta=4.0)  # px: blunts misassociations
+        # ONE packed upload for the window poses (r then t), sliced apart
+        # on device — two separate jnp.asarray calls cost ~34 ms each on
+        # the tunnel, every keyframe insert
+        blob = jnp.asarray(np.concatenate(
+            [s.kf_pose_r[idxs].ravel(), s.kf_pose_t[idxs].ravel()]))
         args = (s.kf_desc[di], s.kf_valid[di], s.kf_pts[di],
-                jnp.asarray(s.kf_pose_r[idxs]), jnp.asarray(s.kf_pose_t[idxs]),
-                self.intr, jnp.ones(w, jnp.float32))
+                blob[:w * 9].reshape(w, 3, 3),
+                blob[w * 9:].reshape(w, 3),
+                self.intr,
+                self._dev(("ones", w), lambda: np.ones(w, np.float32)))
         anchor = self.cfg.local_ba_anchor
         if self._ba_mesh is not None and anchor == "newest":
             from ..parallel.dist_ba import window_ba_dist
@@ -696,20 +729,38 @@ class Slam:
         # whole pose-graph LM/CG program (models/odometry.py grew the same
         # guard after the 300-frame soak OOMed on per-closure compiles)
         e = len(s.edge_i)
-        pad = max(64, -(-e // 64) * 64) - e
+        cap = max(64, -(-e // 64) * 64)
+        pad = cap - e
         eye = np.broadcast_to(np.eye(3, dtype=np.float32), (pad, 3, 3))
+        # TWO packed uploads (one int, one float) instead of seven —
+        # each small host->device transfer costs ~34 ms on the tunnel and
+        # this runs on every accepted loop closure
+        iblob = jnp.asarray(np.concatenate(
+            [np.array(s.edge_i, np.int32), np.zeros(pad, np.int32),
+             np.array(s.edge_j, np.int32), np.zeros(pad, np.int32)]))
+        n_kf = s.kf_pose_r.shape[0]
+        fblob = jnp.asarray(np.concatenate([
+            s.kf_pose_r.ravel(), s.kf_pose_t.ravel(),
+            np.concatenate([np.stack(s.meas_r), eye]).ravel(),
+            np.concatenate([np.stack(s.meas_t),
+                            np.zeros((pad, 3), np.float32)]).ravel(),
+            np.array(s.weight, np.float32), np.zeros(pad, np.float32),
+        ]).astype(np.float32))
+        o = 0
+
+        def take(count, shape):
+            nonlocal o
+            out = fblob[o:o + count].reshape(shape)
+            o += count
+            return out
+
         g = PoseGraph(
-            poses_r=jnp.asarray(s.kf_pose_r), poses_t=jnp.asarray(s.kf_pose_t),
-            edge_i=jnp.asarray(np.concatenate(
-                [np.array(s.edge_i, np.int32), np.zeros(pad, np.int32)])),
-            edge_j=jnp.asarray(np.concatenate(
-                [np.array(s.edge_j, np.int32), np.zeros(pad, np.int32)])),
-            meas_r=jnp.asarray(np.concatenate([np.stack(s.meas_r), eye])),
-            meas_t=jnp.asarray(np.concatenate(
-                [np.stack(s.meas_t), np.zeros((pad, 3), np.float32)])),
-            weight=jnp.asarray(np.concatenate(
-                [np.array(s.weight, np.float32),
-                 np.zeros(pad, np.float32)])),
+            poses_r=take(n_kf * 9, (n_kf, 3, 3)),
+            poses_t=take(n_kf * 3, (n_kf, 3)),
+            edge_i=iblob[:cap], edge_j=iblob[cap:],
+            meas_r=take(cap * 9, (cap, 3, 3)),
+            meas_t=take(cap * 3, (cap, 3)),
+            weight=take(cap, (cap,)),
         )
         res = pg_optimize(g, self.pg_cfg)
         # np.array, not np.asarray: the latter returns a READ-ONLY view of
@@ -787,4 +838,5 @@ class Slam:
         s.n_kf_total = int(z["n_kf_total"]) if "n_kf_total" in z else s.n_kf
         self.key = jnp.asarray(z["key"])
         i = s.n_kf - 1
-        self._ref_cache = (i, s.kf_desc[i], s.kf_valid[i], s.kf_pts[i])
+        di = self._dev(("i32", i), lambda: np.int32(i))
+        self._ref_cache = (i, s.kf_desc[di], s.kf_valid[di], s.kf_pts[di])

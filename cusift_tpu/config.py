@@ -253,6 +253,15 @@ class PoseGraphConfig:
     # (redescending — a gross outlier's influence goes to exactly zero;
     # needs the sane odometry-chain initialisation the frontends provide)
     robust_kernel: str = "huber"
+    # normal-equation solver: "cg" (matrix-free Gauss-Newton — the only
+    # form the trajectory-partitioned distributed path supports, where it
+    # is forced) or "dense" (per-edge Jacobian assembly + Cholesky —
+    # replaces max_iters*cg_iters sequential matvecs with a few batched
+    # ops per LM iteration; round-5 chip probe: 178 -> ~10 ms/solve at
+    # the streaming loop's 48-node graphs).  The SLAM/VO drivers pass
+    # "dense"; default stays "cg" so existing solver behaviour (and the
+    # dist-vs-single parity tests) are unchanged.
+    solver: str = "cg"
 
 
 @dataclass(frozen=True)

@@ -96,6 +96,59 @@ def _robust_cost(g: PoseGraph, delta: float, kernel: str,
     return jax.lax.psum(c, axis_name) if axis_name is not None else c
 
 
+def _edge_residual_12(xi2, ri, ti, rj, tj, mr, mt, w):
+    """One edge's weighted residual [6] at a 12-dim endpoint retraction.
+
+    Same math as `_residuals`, restricted to a single edge so its dense
+    [6, 12] Jacobian (via jacfwd) only touches the two endpoint poses —
+    the sparse structure the dense normal-equation assembly exploits.
+    """
+    dri, dti = se3_exp(xi2[:6])
+    drj, dtj = se3_exp(xi2[6:])
+    ri2, ti2 = compose(dri, dti, ri, ti)
+    rj2, tj2 = compose(drj, dtj, rj, tj)
+    rji, tji = inverse(rj2, tj2)
+    rrel, trel = compose(ri2, ti2, rji, tji)
+    rmi, tmi = inverse(mr, mt)
+    rerr, terr = compose(rmi, tmi, rrel, trel)
+    return se3_log(rerr, terr) * w
+
+
+def _assemble_dense(g_it: PoseGraph, n: int):
+    """Dense Gauss-Newton system (H [6n, 6n], b [6n]) from per-edge blocks.
+
+    Per-edge [6, 12] Jacobians (vmapped jacfwd — one batched pass) are
+    scatter-added into the four (i, j) pose blocks.  For the keyframe-ring
+    graph sizes the streaming loop solves (n <= 256, E <= a few hundred)
+    this replaces the matrix-free CG path's ~max_iters*cg_iters sequential
+    matvecs (round-4 chip probe: 178 ms/call at n=48 — pure program
+    latency) with a handful of batched ops per LM iteration.
+    """
+    zero12 = jnp.zeros(12)
+    ri, ti = g_it.poses_r[g_it.edge_i], g_it.poses_t[g_it.edge_i]
+    rj, tj = g_it.poses_r[g_it.edge_j], g_it.poses_t[g_it.edge_j]
+    res = jax.vmap(_edge_residual_12,
+                   in_axes=(None, 0, 0, 0, 0, 0, 0, 0))(
+        zero12, ri, ti, rj, tj, g_it.meas_r, g_it.meas_t, g_it.weight)
+    jac = jax.vmap(jax.jacfwd(_edge_residual_12),
+                   in_axes=(None, 0, 0, 0, 0, 0, 0, 0))(
+        zero12, ri, ti, rj, tj, g_it.meas_r, g_it.meas_t, g_it.weight)
+    ji, jj = jac[..., :6], jac[..., 6:]                       # [E, 6, 6]
+    h = jnp.zeros((n, n, 6, 6))
+    h = h.at[g_it.edge_i, g_it.edge_i].add(
+        jnp.einsum("eab,eac->ebc", ji, ji))
+    h = h.at[g_it.edge_i, g_it.edge_j].add(
+        jnp.einsum("eab,eac->ebc", ji, jj))
+    h = h.at[g_it.edge_j, g_it.edge_i].add(
+        jnp.einsum("eab,eac->ebc", jj, ji))
+    h = h.at[g_it.edge_j, g_it.edge_j].add(
+        jnp.einsum("eab,eac->ebc", jj, jj))
+    b = jnp.zeros((n, 6))
+    b = b.at[g_it.edge_i].add(-jnp.einsum("eab,ea->eb", ji, res))
+    b = b.at[g_it.edge_j].add(-jnp.einsum("eab,ea->eb", jj, res))
+    return (h.transpose(0, 2, 1, 3).reshape(n * 6, n * 6), b.reshape(-1))
+
+
 def _cg(matvec, b, iters: int, tol: float):
     x = jnp.zeros_like(b)
     r = b
@@ -136,6 +189,9 @@ def lm_loop(g: PoseGraph, cfg: PoseGraphConfig,
     mask = jnp.ones((n, 6))
     if cfg.fix_first_pose:
         mask = mask.at[0].set(0.0)
+    # dense normal-equation solve is single-device only: the distributed
+    # form's edges are sharded and H assembly would need an O(n^2) psum
+    dense = cfg.solver == "dense" and axis_name is None
 
     def psum_(x):
         return jax.lax.psum(x, axis_name) if axis_name is not None else x
@@ -153,16 +209,30 @@ def lm_loop(g: PoseGraph, cfg: PoseGraphConfig,
             g_it = g._replace(weight=g.weight * w_rob)
         else:
             g_it = g
-        res0, vjp_fn = jax.vjp(lambda xi: _residuals(xi, g_it), zero)
+        if dense:
+            h, b = _assemble_dense(g_it, n)
+            # free dofs: not gauge-fixed AND actually constrained (padded
+            # ring slots / weight-0 edges leave zero diagonal blocks that
+            # would sink the f32 Cholesky's conditioning).  Fixed/dead
+            # dofs get a unit diagonal and zero rhs => dx = 0 there.
+            free = (mask.reshape(-1) > 0) & (jnp.diag(h) > 1e-12)
+            hm = jnp.where(free[:, None] & free[None, :], h, 0.0)
+            hm = hm + jnp.diag(jnp.where(free, lam, 1.0))
+            bm = jnp.where(free, b, 0.0)
+            chol = jax.scipy.linalg.cho_factor(hm, lower=True)
+            dx = jax.scipy.linalg.cho_solve(chol, bm).reshape(n, 6) * mask
+        else:
+            res0, vjp_fn = jax.vjp(lambda xi: _residuals(xi, g_it), zero)
 
-        def normal_mv(x):
-            x = x * mask
-            _, jx = jax.jvp(lambda xi: _residuals(xi, g_it), (zero,), (x,))
-            jtjx = psum_(vjp_fn(jx)[0])
-            return (jtjx + lam * x) * mask
+            def normal_mv(x):
+                x = x * mask
+                _, jx = jax.jvp(lambda xi: _residuals(xi, g_it), (zero,),
+                                (x,))
+                jtjx = psum_(vjp_fn(jx)[0])
+                return (jtjx + lam * x) * mask
 
-        b = -psum_(vjp_fn(res0)[0]) * mask
-        dx = _cg(normal_mv, b, cfg.cg_iters, cfg.cg_tol) * mask
+            b = -psum_(vjp_fn(res0)[0]) * mask
+            dx = _cg(normal_mv, b, cfg.cg_iters, cfg.cg_tol) * mask
         dr, dt = se3_exp(dx)
         r2 = dr @ g.poses_r
         t2 = (dr @ g.poses_t[..., None])[..., 0] + dt

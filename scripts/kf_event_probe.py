@@ -57,8 +57,9 @@ def main():
         desc, valid, kd, kv, jnp.ones(kf, bool)))
     timeit("track_ms", lambda: _track(desc, valid, pts, kd[0], kv[0],
                                       kp[0], mc, rc, key)[0].num_inliers)
+    lim_ex = jnp.asarray(np.array([40, -1], np.int32))
     timeit("retrieve_verify_ms", lambda: _retrieve_verify_step(
-        desc, valid, pts, kd, kv, kp, 40, -1, mc, rc, key))
+        desc, valid, pts, kd, kv, kp, lim_ex, mc, rc, key))
 
     # pose graph at the loop's shape: 48 nodes, ~192 edges padded
     e = 192

@@ -70,6 +70,57 @@ def test_perfect_graph_zero_cost(ring):
     assert float(cost(g)) < 1e-8
 
 
+def test_dense_solver_matches_cg(ring):
+    """solver="dense" (Cholesky on the assembled normal equations)
+    converges to the CG path's optimum on the same ring."""
+    g = _graph(ring)
+    rcg = optimize(g, PoseGraphConfig(max_iters=15))
+    rde = optimize(g, PoseGraphConfig(max_iters=15, solver="dense"))
+    assert float(rde.cost) < 0.1 * float(rde.initial_cost)
+    np.testing.assert_allclose(float(rde.cost), float(rcg.cost),
+                               rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rde.poses_t),
+                               np.asarray(rcg.poses_t), rtol=1e-2, atol=1e-3)
+
+
+def test_dense_solver_padded_graph(ring):
+    """Dense path on the SLAM driver's padded shape: dead ring slots and
+    weight-0 padding edges must not sink the Cholesky (zero diagonal
+    blocks get a unit diagonal / zero rhs => dx = 0 there)."""
+    n = ring["init_r"].shape[0]
+    kfcap, ecap = n + 12, 64
+    e = len(ring["edge_i"])
+    pr = np.broadcast_to(np.eye(3, dtype=np.float32), (kfcap, 3, 3)).copy()
+    pt = np.zeros((kfcap, 3), np.float32)
+    pr[:n], pt[:n] = ring["init_r"], ring["init_t"]
+    ei = np.zeros(ecap, np.int32)
+    ej = np.zeros(ecap, np.int32)
+    mr = np.broadcast_to(np.eye(3, dtype=np.float32), (ecap, 3, 3)).copy()
+    mt = np.zeros((ecap, 3), np.float32)
+    w = np.zeros(ecap, np.float32)
+    ei[:e], ej[:e] = ring["edge_i"], ring["edge_j"]
+    mr[:e], mt[:e], w[:e] = ring["meas_r"], ring["meas_t"], 1.0
+    gp = PoseGraph(jnp.asarray(pr), jnp.asarray(pt), jnp.asarray(ei),
+                   jnp.asarray(ej), jnp.asarray(mr), jnp.asarray(mt),
+                   jnp.asarray(w))
+    ref = optimize(_graph(ring), PoseGraphConfig(max_iters=10,
+                                                 solver="dense"))
+    res = optimize(gp, PoseGraphConfig(max_iters=10, solver="dense"))
+    assert not bool(jnp.any(jnp.isnan(res.poses_t)))
+    np.testing.assert_allclose(float(res.cost), float(ref.cost),
+                               rtol=1e-3, atol=1e-6)
+    # dead slots keep their identity poses exactly
+    np.testing.assert_allclose(np.asarray(res.poses_t[n:]), 0.0, atol=1e-6)
+
+
+def test_dense_solver_robust_kernel(ring):
+    """IRLS robust reweighting composes with the dense solver."""
+    g = _graph(ring)
+    res = optimize(g, PoseGraphConfig(max_iters=15, solver="dense",
+                                      huber_delta=1.0))
+    assert float(res.cost) < 0.5 * float(res.initial_cost)
+
+
 def test_robust_kernel_bounds_outlier_edge(ring):
     """SE(3) variant of the Sim(3) outlier test: robust kernels keep a
     garbage high-weight loop edge from dragging the solution below its

@@ -305,6 +305,16 @@ class SlamConfig:
     # final estimate (marginalisation semantics — they stop receiving
     # retroactive loop corrections).
     kf_evict: str = "redundant"
+    # fuse the per-keyframe-insert backend (window BA + loop-closure
+    # retrieval/verification + conditional dense pose-graph solve) into
+    # ONE device program with one packed upload and one packed fetch
+    # (models/slam.py:_kf_event_step).  Round-5 chip profile: the split
+    # form cost ~600 ms per closing keyframe event against ~60 ms of
+    # program time — the rest was per-program uploads/fetches at ~34-38
+    # ms each on the axon tunnel.  Automatically falls back to the split
+    # form for "union" BA anchoring or distributed BA (their solvers
+    # need layouts the fused program does not carry).
+    fused_events: bool = True
 
 
 @dataclass(frozen=True)

@@ -29,7 +29,8 @@ from ..ops.match import match
 from ..ops.ransac import find_rigid
 from ..config import BAConfig, PoseGraphConfig
 from ..optim.lie import compose, inverse, se3_log
-from ..optim.posegraph import PoseGraph, optimize as pg_optimize
+from ..optim.posegraph import (PoseGraph, lm_loop as pg_lm_loop,
+                               optimize as pg_optimize)
 from .local_ba import window_ba
 from .sift import extract
 
@@ -136,6 +137,143 @@ def _retrieve_verify_step(desc, valid, pts, kf_desc, kf_valid, kf_pts,
 
 
 @jax.jit
+def _permute_ring(desc, valid, pts, perm):
+    """Ring-slot permutation as ONE dispatch.
+
+    Three eager `x[perm]` gathers measured 117 ms/eviction inside the
+    streaming loop (round-5 evict_probe: each eager dispatch blocks
+    ~39 ms against the busy tunnel queue); one jitted program dispatches
+    in ~0.1 ms.
+    """
+    return desc[perm], valid[perm], pts[perm]
+
+
+@jax.jit
+def _set_ring_row(desc, valid, pts, di, d, v, p):
+    """Keyframe-ring row insert as ONE dispatch (same rationale)."""
+    return (desc.at[di].set(d), valid.at[di].set(v), pts.at[di].set(p))
+
+
+@partial(jax.jit, static_argnames=("w", "match_cfg", "ransac_cfg",
+                                   "ba_cfg", "pg_cfg", "min_score",
+                                   "min_inl"))
+def _kf_event_step(kf_desc, kf_valid, kf_pts, intr, blob, key,
+                   w: int, match_cfg: MatchConfig,
+                   ransac_cfg: RansacConfig, ba_cfg: BAConfig,
+                   pg_cfg: PoseGraphConfig, min_score: float,
+                   min_inl: int):
+    """The whole per-keyframe-insert backend as ONE program (round 5).
+
+    Window BA -> loop-closure retrieval + geometric verification ->
+    (conditionally) dense pose-graph solve, chained on device.  Round 4
+    ran these as three separate programs with their own uploads and
+    fetches; at ~34 ms per host->device transfer and ~38 ms per fetch on
+    the axon tunnel the keyframe event cost ~600 ms when a closure fired
+    (loop_profile round-5: local_ba 191 + retrieve/verify 45 + pose
+    graph 352 ms/call) against ~60 ms of actual program time.  This form
+    pays ONE packed upload (poses + padded edge table, ints bitcast into
+    the float blob) and ONE packed fetch (updated poses + decisions).
+
+    Blob layout — ints (bitcast): [j, n_kf, e_cnt, lim] edge_i[E]
+    edge_j[E]; floats: poses_r[K*9] poses_t[K*3] meas_r[E*9] meas_t[E*3]
+    weight[E].  The candidate closure edge is appended at e_cnt with
+    weight 2*accept (weight 0 = inert), so no host round-trip sits
+    between verification and the graph solve.  Returns
+    [poses_r K*9 | poses_t K*3 | cand score accept inl ba_c0 ba_c1 |
+    rig_r 9 | rig_t 3].
+    """
+    kfcap = kf_desc.shape[0]
+    ecap = (blob.shape[0] - 4 - 12 * kfcap) // 15
+    ni = 4 + 2 * ecap
+    ints = jax.lax.bitcast_convert_type(blob[:ni], jnp.int32)
+    j, n_kf, e_cnt, lim = ints[0], ints[1], ints[2], ints[3]
+    edge_i = ints[4:4 + ecap]
+    edge_j = ints[4 + ecap:ni]
+    o = ni
+
+    def take(count, shape):
+        nonlocal o
+        out = blob[o:o + count].reshape(shape)
+        o += count
+        return out
+
+    poses_r = take(kfcap * 9, (kfcap, 3, 3))
+    poses_t = take(kfcap * 3, (kfcap, 3))
+    meas_r = take(ecap * 9, (ecap, 3, 3))
+    meas_t = take(ecap * 3, (ecap, 3))
+    weight = take(ecap, (ecap,))
+
+    # ---- sliding-window BA over the last w ring slots ----
+    zero_c = jnp.zeros((), jnp.float32)
+    if w >= 3:
+        widx = jnp.clip(n_kf - w + jnp.arange(w), 0, kfcap - 1)
+        wmask = jnp.ones(w, jnp.float32)
+
+        def run_ba(pr, pt):
+            r, t, c0, c1 = window_ba(
+                kf_desc[widx], kf_valid[widx], kf_pts[widx],
+                pr[widx], pt[widx], intr, wmask, match_cfg, ba_cfg)
+            return pr.at[widx].set(r), pt.at[widx].set(t), c0, c1
+
+        # gauge safety: only run once the window holds w REAL keyframes
+        # (clamped duplicate indices would unfix the two-pose gauge)
+        poses_r, poses_t, ba_c0, ba_c1 = jax.lax.cond(
+            n_kf >= w, run_ba,
+            lambda pr, pt: (pr, pt, zero_c, zero_c),
+            poses_r, poses_t)
+    else:
+        ba_c0 = ba_c1 = zero_c
+
+    # ---- loop-closure retrieval + geometric verification ----
+    qd, qv, qp = kf_desc[j], kf_valid[j], kf_pts[j]
+
+    def run_rv(key):
+        active = jnp.arange(kfcap) < lim
+        scores = _kf_scores(qd, qv, kf_desc, kf_valid, active)
+        cand = jnp.argmax(scores)
+        rig, _ = _track(qd, qv, qp, kf_desc[cand], kf_valid[cand],
+                        kf_pts[cand], match_cfg, ransac_cfg, key)
+        return (cand.astype(jnp.int32), scores[cand],
+                rig.ok.astype(jnp.float32),
+                rig.num_inliers.astype(jnp.float32), rig.r, rig.t)
+
+    cand, score, rv_ok, inl, rig_r, rig_t = jax.lax.cond(
+        lim > 0, run_rv,
+        lambda key: (jnp.int32(0), jnp.float32(-jnp.inf), zero_c, zero_c,
+                     jnp.eye(3, dtype=jnp.float32),
+                     jnp.zeros(3, jnp.float32)),
+        key)
+    accept = ((lim > 0) & (rv_ok > 0) & jnp.isfinite(score)
+              & (score >= min_score) & (inl >= min_inl))
+
+    # ---- append the candidate edge; weight 0 keeps it inert ----
+    edge_i = edge_i.at[e_cnt].set(cand)
+    edge_j = edge_j.at[e_cnt].set(j)
+    meas_r = meas_r.at[e_cnt].set(rig_r)
+    meas_t = meas_t.at[e_cnt].set(rig_t)
+    weight = weight.at[e_cnt].set(jnp.where(accept, 2.0, 0.0))
+
+    # ---- pose-graph solve, only when the closure was accepted ----
+    def solve(pr, pt):
+        g = PoseGraph(poses_r=pr, poses_t=pt, edge_i=edge_i,
+                      edge_j=edge_j, meas_r=meas_r, meas_t=meas_t,
+                      weight=weight)
+        res = pg_lm_loop(g, pg_cfg)
+        return res.poses_r, res.poses_t
+
+    poses_r, poses_t = jax.lax.cond(accept, solve,
+                                    lambda pr, pt: (pr, pt),
+                                    poses_r, poses_t)
+
+    return jnp.concatenate([
+        poses_r.reshape(-1), poses_t.reshape(-1),
+        jnp.stack([cand.astype(jnp.float32), score,
+                   accept.astype(jnp.float32), inl, ba_c0, ba_c1]),
+        rig_r.reshape(-1), rig_t,
+    ])
+
+
+@jax.jit
 def _kf_scores(query_desc, query_valid, kf_desc, kf_valid, kf_active):
     """[MAXKF] similarity of a query frame to every stored keyframe.
 
@@ -221,6 +359,15 @@ class Slam:
         if dist_ba and len(jax.devices()) > 1:
             from ..parallel.mesh import map_mesh
             self._ba_mesh = map_mesh()
+        # fused per-insert backend (one dispatch + one fetch per keyframe
+        # event): needs the newest-anchored single-device BA layout
+        self._fused_events = (slam_cfg.fused_events
+                              and slam_cfg.local_ba_anchor == "newest"
+                              and self._ba_mesh is None)
+        self._ba_cfg = BAConfig(max_iters=slam_cfg.local_ba_iters,
+                                cg_iters=slam_cfg.local_ba_cg_iters,
+                                num_fixed_poses=2, huber_delta=4.0)
+        self._pg_dense = dataclasses.replace(pg_cfg, solver="dense")
 
     # ---------- keyframe management ----------
 
@@ -239,18 +386,18 @@ class Slam:
         # constant — one fresh XLA program per ring row over a long run;
         # cached device scalar — a fresh upload costs ~34 ms per insert
         di = self._dev(("i32", i), lambda: np.int32(i))
-        s.kf_desc = s.kf_desc.at[di].set(desc)
-        s.kf_valid = s.kf_valid.at[di].set(valid)
-        s.kf_pts = s.kf_pts.at[di].set(pts)
+        s.kf_desc, s.kf_valid, s.kf_pts = _set_ring_row(
+            s.kf_desc, s.kf_valid, s.kf_pts, di, desc, valid, pts)
         s.kf_pose_r[i] = np.asarray(pose_r)
         s.kf_pose_t[i] = np.asarray(pose_t)
         s.n_kf = i + 1
         s.n_kf_total += 1
-        # cache the new reference's committed views: passing lazy slices to
-        # the jitted step makes its dispatch block ~48 ms on the tunnel.
-        # Index with the device scalar: a python-int gather bakes the row
-        # into the program and compiles once per ring slot.
-        self._ref_cache = (i, s.kf_desc[di], s.kf_valid[di], s.kf_pts[di])
+        # cache the new reference's committed views.  The inserted arrays
+        # ARE row i by value (no gather needed — three eager row gathers
+        # cost ~9 ms of blocked dispatch on the tunnel), and they are
+        # concrete device arrays, not lazy slices, so the next jitted
+        # step's dispatch does not block on them.
+        self._ref_cache = (i, desc, valid, pts)
         return i
 
     def _evict_keyframe(self):
@@ -336,9 +483,8 @@ class Slam:
         pnp = np.concatenate(
             [np.arange(v), np.arange(v + 1, kfcap), [v]]).astype(np.int32)
         perm = self._dev(("perm", v, kfcap), lambda: pnp)
-        s.kf_desc = s.kf_desc[perm]
-        s.kf_valid = s.kf_valid[perm]
-        s.kf_pts = s.kf_pts[perm]
+        s.kf_desc, s.kf_valid, s.kf_pts = _permute_ring(
+            s.kf_desc, s.kf_valid, s.kf_pts, perm)
         s.kf_pose_r = s.kf_pose_r[pnp].copy()
         s.kf_pose_t = s.kf_pose_t[pnp].copy()
         s.n_kf -= 1
@@ -518,8 +664,11 @@ class Slam:
                 # odometry edge ref -> j measured T_ref * T_j^-1
                 o_r, o_t = rel_r.T, -(rel_r.T @ rel_t)
                 self._add_edge(edge_ref, j, o_r, o_t, 1.0)
-            self._local_ba()
-            loop_found = self._try_loop_closure(j, desc, valid, pts)
+            if self._fused_events:
+                loop_found = self._kf_event(j)
+            else:
+                self._local_ba()
+                loop_found = self._try_loop_closure(j, desc, valid, pts)
             s.traj_ref.append(j)
             s.traj_rel_r.append(np.eye(3, dtype=np.float32))
             s.traj_rel_t.append(np.zeros(3, np.float32))
@@ -671,6 +820,58 @@ class Slam:
         s.n_closures += 1
         self._optimize_graph()
         return True
+
+    def _kf_event(self, j: int) -> bool:
+        """Fused per-insert backend: BA + closure + graph, one round-trip.
+
+        Packs the host-held poses and edge table into one blob (ints
+        bitcast into the float array — TWO dtype-split uploads cost ~34 ms
+        each on the tunnel), dispatches `_kf_event_step`, fetches one
+        packed result, and applies it: pose mirror refresh + the closure
+        edge appended to the host lists when the device accepted it.
+        Returns whether a loop closure fired.
+        """
+        s = self.state
+        e = len(s.edge_i)
+        # room for the speculative closure edge at slot e
+        ecap = max(64, -(-(e + 1) // 64) * 64)
+        pad = ecap - e
+        kfcap = self.cfg.max_keyframes
+        limit = max(0, s.n_kf - 1 - self.cfg.loop_temporal_gap)
+        ints = np.concatenate([
+            np.array([j, s.n_kf, e, limit], np.int32),
+            np.asarray(s.edge_i, np.int32), np.zeros(pad, np.int32),
+            np.asarray(s.edge_j, np.int32), np.zeros(pad, np.int32)])
+        eyepad = np.broadcast_to(np.eye(3, dtype=np.float32), (pad, 3, 3))
+        meas_r = (np.concatenate([np.stack(s.meas_r), eyepad]) if e
+                  else eyepad.copy())
+        meas_t = np.zeros((ecap, 3), np.float32)
+        wts = np.zeros(ecap, np.float32)
+        if e:
+            meas_t[:e] = np.stack(s.meas_t)
+            wts[:e] = s.weight
+        blob = jnp.asarray(np.concatenate([
+            ints.view(np.float32),
+            s.kf_pose_r.ravel(), s.kf_pose_t.ravel(),
+            meas_r.ravel(), meas_t.ravel(), wts,
+        ]).astype(np.float32))                      # the one upload
+        packed = np.asarray(_kf_event_step(
+            s.kf_desc, s.kf_valid, s.kf_pts, self.intr, blob,
+            self._next_key(), self.cfg.local_ba_window, self.match_cfg,
+            self.ransac_cfg, self._ba_cfg, self._pg_dense,
+            self.cfg.loop_min_score,
+            self.cfg.loop_min_inliers))             # the one fetch
+        k9 = kfcap * 9
+        k12 = kfcap * 12
+        s.kf_pose_r = packed[:k9].reshape(kfcap, 3, 3).copy()
+        s.kf_pose_t = packed[k9:k12].reshape(kfcap, 3).copy()
+        cand, _score, accept, _inl = packed[k12:k12 + 4]
+        if accept > 0:
+            self._add_edge(int(cand), j,
+                           packed[k12 + 6:k12 + 15].reshape(3, 3).copy(),
+                           packed[k12 + 15:k12 + 18].copy(), 2.0)
+            s.n_closures += 1
+        return bool(accept > 0)
 
     def _local_ba(self):
         """Sliding-window BA over the last W keyframes (north-star BA step).

@@ -106,6 +106,39 @@ def test_loop_closure_fires_and_holds_accuracy():
     assert slam.ate(seq.poses_r, seq.poses_t) < 0.05
 
 
+def test_fused_events_match_split_path():
+    """The fused per-insert backend (_kf_event_step: BA + closure
+    retrieval/verification + conditional dense pose-graph solve in ONE
+    program) must reproduce the split three-program path: same keyframe
+    count, same closures, same trajectory to solver tolerance.  Both runs
+    pin the dense graph solver so only the fusion itself is compared."""
+    from cusift_tpu.config import PoseGraphConfig
+    seq = planar_rgbd_sequence(24, 240, 320, motion_scale=0.9, seed=5)
+    cfg = dict(max_keyframes=32, kf_min_inliers=220,
+               kf_max_translation=0.06, kf_max_rotation=0.06,
+               loop_temporal_gap=4, loop_min_score=0.05,
+               loop_min_inliers=25)
+    pg = PoseGraphConfig(solver="dense")
+
+    def run(fused):
+        slam = Slam(seq.intr, sift_cfg=SIFT,
+                    ransac_cfg=RansacConfig(inlier_thresh_3d=0.03),
+                    slam_cfg=SlamConfig(fused_events=fused, **cfg),
+                    pg_cfg=pg)
+        for i in range(24):
+            slam.process_frame(seq.images[i], seq.depths[i])
+        return slam
+
+    sf, ss = run(True), run(False)
+    assert sf.state.n_kf == ss.state.n_kf
+    assert sf.state.n_closures == ss.state.n_closures >= 1
+    assert sf.state.edge_i == ss.state.edge_i
+    rf, tf = sf.trajectory()
+    rs, ts = ss.trajectory()
+    np.testing.assert_allclose(tf, ts, atol=1e-3)
+    np.testing.assert_allclose(rf, rs, atol=1e-3)
+
+
 def _synthetic_keyframe(rng, n=SIFT.total_kpts):
     desc = rng.normal(size=(n, 128)).astype(np.float32)
     desc /= np.linalg.norm(desc, axis=-1, keepdims=True)

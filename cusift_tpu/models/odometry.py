@@ -294,7 +294,11 @@ class MonoVO:
         self._scale = jnp.float32(1.0)
         self._last_rel = (np.eye(3, dtype=np.float32),
                           np.zeros(3, np.float32))
-        self._key = jax.random.PRNGKey(ransac_cfg.seed)
+        # host-side counter PRNG: eager jax.random.split costs a ~40 ms
+        # tunnel round-trip per call (scripts/kf_event_probe round 5);
+        # distinct (seed, counter) raw threefry keys upload in ~1 ms
+        self._seed = ransac_cfg.seed
+        self._key_ctr = 0
         # device-constant cache: every small host->device upload costs
         # ~34 ms on the axon tunnel (ring indices, loop gates, perms)
         self._dev_cache: dict = {}
@@ -350,6 +354,11 @@ class MonoVO:
             v = self._dev_cache[key] = jax.device_put(build())
         return v
 
+    def _next_key(self):
+        self._key_ctr += 1
+        return jnp.asarray(np.array([self._seed, self._key_ctr],
+                                    np.uint32))
+
     def _extract(self, dimg):
         f = extract(dimg, self.sift_cfg)
         if self._content is not None:
@@ -384,7 +393,7 @@ class MonoVO:
                 self._insert_keyframe()     # frame 0 bootstraps the map
                 self._frame_ref.append(0)
             return None
-        self._key, sub = jax.random.split(self._key)
+        sub = self._next_key()
         kf_ref = (self.vo_cfg is not None
                   and self.vo_cfg.track_ref == "keyframe")
         if kf_ref:
@@ -405,7 +414,7 @@ class MonoVO:
             # on-device pose selection (models/monomap.py); the chain pose
             # stays the fallback and the fetch stays ONE packed array
             from .monomap import localize_step
-            self._key, sub2 = jax.random.split(self._key)
+            sub2 = self._next_key()
             fb = out.feats
             mt = localize_step(
                 fb.desc, fb.valid, fb.x, fb.y, self.intr,
@@ -745,7 +754,7 @@ class MonoVO:
         exclude_lo = j - cfg.loop_temporal_gap
         if exclude_lo <= 0:
             return False
-        self._key, sub = jax.random.split(self._key)
+        sub = self._next_key()
         f = self._feats
         fx, fy, cx, cy = (float(v) for v in self._intr_np)
         xyn = jnp.stack([(f.x - cx) / fx, (f.y - cy) / fy], -1)
@@ -986,7 +995,7 @@ class MonoVO:
             scale=np.float32(self._scale),
             last_rel_r=self._last_rel[0], last_rel_t=self._last_rel[1],
             ema_step=np.float32(self._ema_step),
-            key=np.asarray(self._key),
+            key=np.array([self._seed, self._key_ctr], np.uint32),
             depth=np.asarray(self._depth),
             feats=np.concatenate([np.asarray(f, np.float32).reshape(
                 len(self._feats.x), -1) for f in self._feats], axis=-1),
@@ -1066,7 +1075,10 @@ class MonoVO:
         self._scale = jnp.float32(z["scale"])
         self._last_rel = (z["last_rel_r"], z["last_rel_t"])
         self._ema_step = float(z["ema_step"])
-        self._key = jnp.asarray(z["key"])
+        # key holds (seed, counter); pre-round-5 checkpoints stored a raw
+        # split-chain key whose two words still seed a valid fresh stream
+        self._seed = int(z["key"][0])
+        self._key_ctr = int(z["key"][1])
         self._depth = jnp.asarray(z["depth"])
         self._feats = self._unpack_feats(z["feats"])
         self._ring = [(jnp.asarray(z[f"ring_desc_{k}"]),

@@ -332,7 +332,12 @@ class Slam:
         self.ransac_cfg = ransac_cfg
         self.cfg = slam_cfg
         self.pg_cfg = pg_cfg
-        self.key = jax.random.PRNGKey(seed)
+        # host-side counter PRNG: an eager jax.random.split costs a full
+        # tunnel round-trip (~40 ms measured, scripts/kf_event_probe) per
+        # call; distinct (seed, counter) raw threefry keys are independent
+        # streams and upload in ~1 ms
+        self._seed = seed
+        self._key_ctr = 0
         n = sift_cfg.total_kpts
         kf = slam_cfg.max_keyframes
         eye = np.broadcast_to(np.eye(3, dtype=np.float32), (kf, 3, 3)).copy()
@@ -504,8 +509,17 @@ class Slam:
         s.weight.append(float(weight))
 
     def _next_key(self):
-        self.key, k = jax.random.split(self.key)
-        return k
+        self._key_ctr += 1
+        return jnp.asarray(np.array([self._seed, self._key_ctr],
+                                    np.uint32))
+
+    def _next_keys(self, n: int):
+        """[n, 2] batch of fresh counter keys (one upload, no eager split)."""
+        base = self._key_ctr + 1
+        self._key_ctr += n
+        return jnp.asarray(np.stack(
+            [np.full(n, self._seed, np.uint32),
+             np.arange(base, base + n, dtype=np.uint32)], -1))
 
     # ---------- main loop ----------
 
@@ -747,7 +761,7 @@ class Slam:
                 if n_valid <= 0:
                     break
             ref, kd, kv, kp = self._ref_cache
-            keys = jax.random.split(self._next_key(), chunk)
+            keys = self._next_keys(chunk)
             feats, pts, packed = self._chunk_sense_step(fchunk, kd, kv, kp,
                                                         keys)
             packed_np = np.asarray(packed)           # the one fetch
@@ -1013,7 +1027,7 @@ class Slam:
             traj_rel_t=np.stack(s.traj_rel_t) if s.traj_rel_t else np.zeros((0, 3)),
             traj_ok=np.array(s.traj_ok, bool),
             n_closures=s.n_closures, n_kf_total=s.n_kf_total,
-            key=np.asarray(self.key),
+            key=np.array([self._seed, self._key_ctr], np.uint32),
         )
 
     def restore(self, path: str):
@@ -1037,7 +1051,10 @@ class Slam:
         s.n_closures = int(z["n_closures"])
         # absent in pre-eviction checkpoints: fall back to the live count
         s.n_kf_total = int(z["n_kf_total"]) if "n_kf_total" in z else s.n_kf
-        self.key = jnp.asarray(z["key"])
+        # key holds (seed, counter); pre-round-5 checkpoints stored a raw
+        # split-chain key whose two words still seed a valid fresh stream
+        self._seed = int(z["key"][0])
+        self._key_ctr = int(z["key"][1])
         i = s.n_kf - 1
         di = self._dev(("i32", i), lambda: np.int32(i))
         self._ref_cache = (i, s.kf_desc[di], s.kf_valid[di], s.kf_pts[di])

@@ -61,6 +61,15 @@ def main():
     timeit("retrieve_verify_ms", lambda: _retrieve_verify_step(
         desc, valid, pts, kd, kv, kp, lim_ex, mc, rc, key))
 
+    # eager PRNG split (the driver's _next_key) — suspected dispatch cost
+    k = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    for _ in range(16):
+        k, _sub = jax.random.split(k)
+    float(jnp.sum(_sub))
+    print(json.dumps({"key_split_ms": round(
+        (time.perf_counter() - t0) / 16 * 1e3, 2)}), flush=True)
+
     # pose graph at the loop's shape: 48 nodes, ~192 edges padded
     e = 192
     ei = np.arange(e) % (kf - 1)
@@ -75,6 +84,8 @@ def main():
         meas_t=jnp.asarray(rng.normal(size=(e, 3)).astype(np.float32)),
         weight=jnp.asarray(np.ones(e, np.float32)))
     timeit("pose_graph_ms", lambda: pg_optimize(g, PoseGraphConfig()))
+    timeit("pose_graph_dense_ms", lambda: pg_optimize(
+        g, PoseGraphConfig(solver="dense")))
 
     # window BA at the loop's shape
     w = 5
@@ -87,6 +98,33 @@ def main():
     timeit("window_ba_ms", lambda: window_ba(
         kd[:w], kv[:w], kp[:w], r0, t0_, intr, jnp.ones(w, jnp.float32),
         mc, ba)[2])
+
+    # the round-5 fused event program at the loop's shape
+    from cusift_tpu.models.slam import _kf_event_step
+    from cusift_tpu.config import PoseGraphConfig as PGC
+    ecap = 192
+    ints = np.zeros(4 + 2 * ecap, np.int32)
+    ints[0] = kf - 1          # j: newest slot
+    ints[1] = kf              # n_kf
+    ints[2] = ecap - 1        # e_cnt: append into the last padded slot
+    ints[3] = kf - 1 - 12     # lim
+    ints[4:4 + kf - 1] = np.arange(kf - 1)
+    ints[4 + ecap:4 + ecap + kf - 1] = np.arange(1, kf)
+    eye = np.broadcast_to(np.eye(3, dtype=np.float32), (ecap, 3, 3))
+    blob_np = np.concatenate([
+        ints[:4 + 2 * ecap].view(np.float32)[:4 + 2 * ecap],
+        np.broadcast_to(np.eye(3, dtype=np.float32),
+                        (kf, 3, 3)).ravel(),
+        rng.normal(size=kf * 3).astype(np.float32) * 0.1,
+        eye.ravel(), np.zeros(ecap * 3, np.float32),
+        np.concatenate([np.ones(kf - 1, np.float32),
+                        np.zeros(ecap - kf + 1, np.float32)]),
+    ]).astype(np.float32)
+    blob = jnp.asarray(blob_np)
+    timeit("fused_event_ms", lambda: _kf_event_step(
+        kd, kv, kp, intr, blob, key, 5, mc, rc,
+        BAConfig(max_iters=5, cg_iters=15, num_fixed_poses=2,
+                 huber_delta=4.0), PGC(solver="dense"), 0.1, 40))
 
 
 if __name__ == "__main__":

@@ -78,6 +78,15 @@ class SiftConfig:
     # gradient patch sampler backend: "auto" (Pallas on TPU, XLA gather
     # elsewhere), "pallas", or "xla"
     sampler: str = "auto"
+    # keypoints per Pallas-sampler grid step.  Larger groups amortise the
+    # per-grid-step overhead (block index math, DMA semaphore round) and
+    # deepen DMA overlap until VMEM pressure and tail quantisation turn
+    # it back down; 48 is the measured v5e optimum at the bench shape
+    # (round-4 chip sweep: G=8 778k, 32 794.5k, 48 806k, 64 791.5k
+    # kpts/s).  The CUSIFT_SAMPLER_GROUP env var overrides this for perf
+    # probes only — production runs key off the config so bench/CLI
+    # results are environment-independent.
+    sampler_group: int = 48
     # fused octave kernel (blur+DoG+extrema score in one Pallas pass):
     # "auto" (currently XLA — its fused conv chain is already near
     # memory-bound on v5e), "pallas" (pipelined outputs, tile capped at
@@ -229,6 +238,19 @@ class BAConfig:
     # poses pins it completely.  num_fixed_poses counts from pose 0 and
     # overrides fix_first_pose when > 0.
     num_fixed_poses: int = 1
+    # Camera-system solver: "cg" (matrix-free Schur + PCG, the default —
+    # also the only form the distributed landmark-sharded path supports,
+    # forced there) or "dense" (explicitly assembled [6C, 6C] Schur
+    # complement, U-whitened eigen-truncated solve).  "dense" was built
+    # to kill the cg_iters sequential matvec latency in the fused
+    # keyframe event and ships EXPERIMENTAL with a measured negative
+    # result: the window system's condition reaches 1e8+, and every
+    # exact-solve variant tried (Cholesky, LU+jitter, eigen truncation,
+    # U-whitened truncation) measured worse end-to-end ATE than the
+    # truncated-CG step, whose Krylov truncation is the regularisation
+    # the window geometry needs (round-5 campaign: ATE 0.27-0.35 vs CG
+    # 0.19 on the depth-noise drift scenario).  Keep "cg".
+    solver: str = "cg"
 
 
 @dataclass(frozen=True)
@@ -407,6 +429,19 @@ class VOConfig:
     # ratio; measured: healthy 300-frame solves sit at <= ~1.0x raw while
     # the poisoned 1000-frame solves blow past it (scripts/gate_probe.py)
     sim3_gate_margin: float = 1.15
+    # Second (motion-free) acceptance route, fixing the absolute gate's
+    # false-reject direction (VERDICT r4 weak #2): when ground-truth
+    # speed is genuinely non-uniform (stop-and-go) and the raw chain's
+    # drift happens to SMOOTH the speed profile, a correct solve
+    # legitimately raises dispersion and the speed gate alone rejects
+    # it.  The correction's own per-segment speed modification
+    # log(v_corr/v_raw) is motion-free (true motion cancels in the
+    # ratio): genuine drift corrections apply SMOOTH modifications
+    # (slow multiplicative random walks), while poisoned chain-collapse
+    # corrections jump by e^2 within a couple of keyframes.  A solve is
+    # accepted when EITHER the speed gate passes OR the modification
+    # roughness std(diff(log(v_corr/v_raw))) stays under this ceiling.
+    sim3_gate_smooth: float = 0.10
 
 
 @dataclass(frozen=True)

@@ -130,11 +130,13 @@ def descriptors(gauss: jnp.ndarray, slots: Slots,
         pr = -(-(int(span) + 12) // 8) * 8
         pc = -(-(int(span) + 132) // 128) * 128
         raw = sample_desc_raw(gauss, lvl, ys, xs, th, wv, w_spatial,
-                              nb=nb, cells=d * d, pr=pr, pc=pc)
+                              nb=nb, cells=d * d, pr=pr, pc=pc,
+                              g=cfg.sampler_group)
         desc = jnp.swapaxes(raw, 1, 2).reshape(n, d * d * nb)
     else:
         dx, dy, inb = sample_grad_pair(gauss, lvl, ys, xs,
-                                       span_rows=span, method=method)
+                                       span_rows=span, method=method,
+                                       group=cfg.sampler_group)
         mag = jnp.sqrt(dx * dx + dy * dy)
         # Gradient direction rotated into the keypoint frame.  Negated
         # (theta - grad) to match the classic descriptor's y-up angle

@@ -80,11 +80,13 @@ def orientation_histograms(gauss: jnp.ndarray, kps: Keypoints,
         wv = wgt[0] * kps.valid[:, None]                       # [K, S]
         pr = -(-(int(span) + 12) // 8) * 8
         pc = -(-(int(span) + 132) // 128) * 128
-        hist = sample_ori_hist(gauss, lvl, ys, xs, wv, nb, pr=pr, pc=pc)
+        hist = sample_ori_hist(gauss, lvl, ys, xs, wv, nb, pr=pr, pc=pc,
+                               g=cfg.sampler_group)
         return _smooth_hist(hist)
 
     dx, dy, inb = sample_grad_grid(gauss, lvl, ys_rows, xs_cols,
-                                   span_rows=span, method=method)
+                                   span_rows=span, method=method,
+                                   group=cfg.sampler_group)
     mag = jnp.sqrt(dx * dx + dy * dy)
     ang = jnp.arctan2(dy, dx)                                  # [-pi, pi]
     w = mag * wgt * inb * kps.valid[:, None]                   # [K, S]

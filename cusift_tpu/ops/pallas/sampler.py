@@ -41,14 +41,23 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# keypoints per grid step.  48 is the measured optimum on v5e (round-4
-# chip sweeps of the headline pipeline: at 5120 cap G=8 778.0k, 16
-# 781.1k, 32 794.5k, 64 791.5k, 128 784.4k kpts/s; at the adopted 6144
-# cap G=32 800-802k vs **G=48 806k**): larger groups amortise the
-# per-grid-step overhead (block index math, DMA semaphore round) and
-# let the G in-flight patch DMAs overlap deeper, until VMEM pressure
-# and tail quantisation turn it back down.  Env-tunable for perf probes.
-_G = int(os.environ.get("CUSIFT_SAMPLER_GROUP", "48"))
+# Keypoints per grid step: larger groups amortise the per-grid-step
+# overhead (block index math, DMA semaphore round) and let the in-flight
+# patch DMAs overlap deeper, until VMEM pressure and tail quantisation
+# turn it back down.  48 is the measured optimum on v5e (round-4 chip
+# sweeps of the headline pipeline: at 5120 cap G=8 778.0k, 16 781.1k,
+# 32 794.5k, 64 791.5k, 128 784.4k kpts/s; at the adopted 6144 cap
+# G=32 800-802k vs **G=48 806k**).  The shipped value lives in
+# SiftConfig.sampler_group and is plumbed through every wrapper's `g`
+# argument; the env var remains an override for perf probes ONLY.
+_G_DEFAULT = 48
+
+
+def _resolve_g(g) -> int:
+    env = os.environ.get("CUSIFT_SAMPLER_GROUP")
+    if env:
+        return int(env)
+    return int(g) if g else _G_DEFAULT
 
 
 def _kernel(lvl_ref, y0_ref, x0_ref,          # scalar prefetch [N]
@@ -56,7 +65,8 @@ def _kernel(lvl_ref, y0_ref, x0_ref,          # scalar prefetch [N]
             g_ref,                            # HBM Gaussian stack [L, Hp, Wp]
             ox_ref, oy_ref,                   # VMEM out blocks [G, S]
             patches, sem,                     # scratch: patches + DMA sems
-            *, pr: int, pc: int, h: int, w: int, bf16_dots: bool):
+            *, pr: int, pc: int, h: int, w: int, bf16_dots: bool,
+            _G: int):
     i = pl.program_id(0)
 
     def dma(j):
@@ -135,7 +145,8 @@ def _kernel_sep(lvl_ref, y0_ref, x0_ref,      # scalar prefetch [N]
                 g_ref,                        # HBM Gaussian stack
                 ox_ref, oy_ref,               # VMEM out blocks [G, GR*GC]
                 patches, sem,
-                *, pr: int, pc: int, h: int, w: int, gr: int, gc: int):
+                *, pr: int, pc: int, h: int, w: int, gr: int, gc: int,
+                _G: int):
     """Separable-grid variant: the orientation stage samples an
     AXIS-ALIGNED regular grid, so its S = GR*GC samples factor into GR
     distinct rows x GC distinct cols — the hat-weight matrices shrink
@@ -240,7 +251,7 @@ def _fmod_pos(x, n: float):
     return x - n * jnp.floor(x / n)
 
 
-def _grad_patches_prologue(patches, pr, pc):
+def _grad_patches_prologue(patches, pr, pc, _G):
     """DMA'd patches -> raw central differences for the whole group."""
     pall = patches[:].reshape(_G * pr, pc)
     gx_all = 0.5 * (pltpu.roll(pall, pc - 1, 1) - pltpu.roll(pall, 1, 1))
@@ -254,7 +265,7 @@ def _kernel_hist(lvl_ref, y0_ref, x0_ref,     # scalar prefetch [N]
                  g_ref,                       # HBM Gaussian stack
                  hist_ref,                    # VMEM out [G, NB]
                  patches, sem,
-                 *, pr: int, pc: int, h: int, w: int, nb: int):
+                 *, pr: int, pc: int, h: int, w: int, nb: int, _G: int):
     """Fused orientation stage: sampling + gradient polar decomposition +
     soft circular binning, all in-register.
 
@@ -282,7 +293,7 @@ def _kernel_hist(lvl_ref, y0_ref, x0_ref,     # scalar prefetch [N]
     rowi = jax.lax.broadcasted_iota(jnp.int32, (pr, s), 0).astype(jnp.float32)
     coli = jax.lax.broadcasted_iota(jnp.int32, (pc, s), 0).astype(jnp.float32)
     bini = jax.lax.broadcasted_iota(jnp.int32, (nb, s), 0).astype(jnp.float32)
-    gx_all, gy_all = _grad_patches_prologue(patches, pr, pc)
+    gx_all, gy_all = _grad_patches_prologue(patches, pr, pc, _G)
     prow1 = jax.lax.broadcasted_iota(jnp.int32, (pr, 1), 0)
     pcol1 = jax.lax.broadcasted_iota(jnp.int32, (1, pc), 1)
 
@@ -312,7 +323,8 @@ def _kernel_desc(lvl_ref, y0_ref, x0_ref, th_ref,  # scalar prefetch [N]
                  g_ref,                            # HBM Gaussian stack
                  out_ref,                          # VMEM out [G, NB, CELLS]
                  patches, sem,
-                 *, pr: int, pc: int, h: int, w: int, nb: int, cells: int):
+                 *, pr: int, pc: int, h: int, w: int, nb: int, cells: int,
+                 _G: int):
     """Fused descriptor stage: sampling + rotated-frame binning + the
     spatial-cell contraction, in-register (see _kernel_hist).  Emits the
     raw [NB, CELLS] histogram block per slot; normalisation stays
@@ -336,7 +348,7 @@ def _kernel_desc(lvl_ref, y0_ref, x0_ref, th_ref,  # scalar prefetch [N]
     rowi = jax.lax.broadcasted_iota(jnp.int32, (pr, s), 0).astype(jnp.float32)
     coli = jax.lax.broadcasted_iota(jnp.int32, (pc, s), 0).astype(jnp.float32)
     bini = jax.lax.broadcasted_iota(jnp.int32, (nb, s), 0).astype(jnp.float32)
-    gx_all, gy_all = _grad_patches_prologue(patches, pr, pc)
+    gx_all, gy_all = _grad_patches_prologue(patches, pr, pc, _G)
     prow1 = jax.lax.broadcasted_iota(jnp.int32, (pr, 1), 0)
     pcol1 = jax.lax.broadcasted_iota(jnp.int32, (1, pc), 1)
 
@@ -386,10 +398,11 @@ def _patch_geometry(gauss, ys, xs, pr, pc):
     return gauss, inb, y0, x0, ry, rx
 
 
-@functools.partial(jax.jit, static_argnames=("nb", "pr", "pc", "interpret"))
+@functools.partial(jax.jit, static_argnames=("nb", "pr", "pc", "g", "interpret"))
 def sample_ori_hist(gauss: jnp.ndarray, lvl: jnp.ndarray,
                     ys: jnp.ndarray, xs: jnp.ndarray, wv: jnp.ndarray,
                     nb: int, pr: int, pc: int = 256,
+                    g: int | None = None,
                     interpret: bool = False) -> jnp.ndarray:
     """Fused orientation histograms: [N, nb] from per-slot sample grids.
 
@@ -398,7 +411,8 @@ def sample_ori_hist(gauss: jnp.ndarray, lvl: jnp.ndarray,
     """
     l, h, w = gauss.shape
     n, s = ys.shape
-    pad_n = (-n) % _G
+    g = _resolve_g(g)
+    pad_n = (-n) % g
     if pad_n:
         lvl = jnp.pad(lvl, (0, pad_n))
         ys = jnp.pad(ys, ((0, pad_n), (0, 0)))
@@ -409,27 +423,28 @@ def sample_ori_hist(gauss: jnp.ndarray, lvl: jnp.ndarray,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=((n + pad_n) // _G,),
+        grid=((n + pad_n) // g,),
         in_specs=[
-            pl.BlockSpec((_G, s), lambda i, *_: (i, 0),
+            pl.BlockSpec((g, s), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_G, s), lambda i, *_: (i, 0),
+            pl.BlockSpec((g, s), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_G, s), lambda i, *_: (i, 0),
+            pl.BlockSpec((g, s), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[
-            pl.BlockSpec((_G, nb), lambda i, *_: (i, 0),
+            pl.BlockSpec((g, nb), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_G, pr, pc), jnp.float32),
-            pltpu.SemaphoreType.DMA((_G,)),
+            pltpu.VMEM((g, pr, pc), jnp.float32),
+            pltpu.SemaphoreType.DMA((g,)),
         ],
     )
     (hist,) = pl.pallas_call(
-        functools.partial(_kernel_hist, pr=pr, pc=pc, h=h, w=w, nb=nb),
+        functools.partial(_kernel_hist, pr=pr, pc=pc, h=h, w=w, nb=nb,
+                          _G=g),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n + pad_n, nb), jnp.float32)],
         interpret=interpret,
@@ -438,12 +453,12 @@ def sample_ori_hist(gauss: jnp.ndarray, lvl: jnp.ndarray,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("nb", "cells", "pr", "pc", "interpret"))
+                   static_argnames=("nb", "cells", "pr", "pc", "g", "interpret"))
 def sample_desc_raw(gauss: jnp.ndarray, lvl: jnp.ndarray,
                     ys: jnp.ndarray, xs: jnp.ndarray,
                     theta: jnp.ndarray, wv: jnp.ndarray,
                     w_spatial: jnp.ndarray, nb: int, cells: int,
-                    pr: int, pc: int = 256,
+                    pr: int, pc: int = 256, g: int | None = None,
                     interpret: bool = False) -> jnp.ndarray:
     """Fused raw descriptors: [N, nb, cells] (normalise outside).
 
@@ -452,7 +467,8 @@ def sample_desc_raw(gauss: jnp.ndarray, lvl: jnp.ndarray,
     """
     l, h, w = gauss.shape
     n, s = ys.shape
-    pad_n = (-n) % _G
+    g = _resolve_g(g)
+    pad_n = (-n) % g
     if pad_n:
         lvl = jnp.pad(lvl, (0, pad_n))
         ys = jnp.pad(ys, ((0, pad_n), (0, 0)))
@@ -464,30 +480,30 @@ def sample_desc_raw(gauss: jnp.ndarray, lvl: jnp.ndarray,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=((n + pad_n) // _G,),
+        grid=((n + pad_n) // g,),
         in_specs=[
-            pl.BlockSpec((_G, s), lambda i, *_: (i, 0),
+            pl.BlockSpec((g, s), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_G, s), lambda i, *_: (i, 0),
+            pl.BlockSpec((g, s), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_G, s), lambda i, *_: (i, 0),
+            pl.BlockSpec((g, s), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((s, cells), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[
-            pl.BlockSpec((_G, nb, cells), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((g, nb, cells), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_G, pr, pc), jnp.float32),
-            pltpu.SemaphoreType.DMA((_G,)),
+            pltpu.VMEM((g, pr, pc), jnp.float32),
+            pltpu.SemaphoreType.DMA((g,)),
         ],
     )
     (raw,) = pl.pallas_call(
         functools.partial(_kernel_desc, pr=pr, pc=pc, h=h, w=w,
-                          nb=nb, cells=cells),
+                          nb=nb, cells=cells, _G=g),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n + pad_n, nb, cells),
                                         jnp.float32)],
@@ -497,10 +513,10 @@ def sample_desc_raw(gauss: jnp.ndarray, lvl: jnp.ndarray,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("pr", "pc", "interpret"))
+                   static_argnames=("pr", "pc", "g", "interpret"))
 def sample_grad_patches_sep(gauss: jnp.ndarray, lvl: jnp.ndarray,
                             ys_rows: jnp.ndarray, xs_cols: jnp.ndarray,
-                            pr: int, pc: int = 256,
+                            pr: int, pc: int = 256, g: int | None = None,
                             interpret: bool = False):
     """Separable-grid gradient sampling: ys_rows [N, GR], xs_cols [N, GC]
     define an axis-aligned grid per slot; returns (dx, dy, inb) shaped
@@ -508,12 +524,13 @@ def sample_grad_patches_sep(gauss: jnp.ndarray, lvl: jnp.ndarray,
     l, h, w = gauss.shape
     n, gr = ys_rows.shape
     gc = xs_cols.shape[1]
+    g = _resolve_g(g)
     assert pr % 8 == 0 and pc % 128 == 0, (pr, pc)
 
     inb = ((ys_rows >= 0) & (ys_rows <= h - 1))[:, :, None] \
         & ((xs_cols >= 0) & (xs_cols <= w - 1))[:, None, :]
     inb = inb.reshape(n, gr * gc)
-    pad_n = (-n) % _G
+    pad_n = (-n) % g
     if pad_n:
         lvl = jnp.pad(lvl, (0, pad_n))
         ys_rows = jnp.pad(ys_rows, ((0, pad_n), (0, 0)))
@@ -535,28 +552,28 @@ def sample_grad_patches_sep(gauss: jnp.ndarray, lvl: jnp.ndarray,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=((n + pad_n) // _G,),
+        grid=((n + pad_n) // g,),
         in_specs=[
-            pl.BlockSpec((_G, gr), lambda i, *_: (i, 0),
+            pl.BlockSpec((g, gr), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_G, gc), lambda i, *_: (i, 0),
+            pl.BlockSpec((g, gc), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[
-            pl.BlockSpec((_G, gr, gc), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((g, gr, gc), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_G, gr, gc), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((g, gr, gc), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_G, pr, pc), jnp.float32),
-            pltpu.SemaphoreType.DMA((_G,)),
+            pltpu.VMEM((g, pr, pc), jnp.float32),
+            pltpu.SemaphoreType.DMA((g,)),
         ],
     )
     dx, dy = pl.pallas_call(
         functools.partial(_kernel_sep, pr=pr, pc=pc, h=h, w=w,
-                          gr=gr, gc=gc),
+                          gr=gr, gc=gc, _G=g),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n + pad_n, gr, gc), jnp.float32),
                    jax.ShapeDtypeStruct((n + pad_n, gr, gc), jnp.float32)],
@@ -566,11 +583,12 @@ def sample_grad_patches_sep(gauss: jnp.ndarray, lvl: jnp.ndarray,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("pr", "pc", "interpret", "debug_checks",
+                   static_argnames=("pr", "pc", "g", "interpret", "debug_checks",
                                     "bf16_dots"))
 def sample_grad_patches(gauss: jnp.ndarray, lvl: jnp.ndarray,
                         ys: jnp.ndarray, xs: jnp.ndarray,
-                        pr: int, pc: int = 256, interpret: bool = False,
+                        pr: int, pc: int = 256, g: int | None = None,
+                        interpret: bool = False,
                         debug_checks: bool = False,
                         bf16_dots: bool = True):
     """Sample image gradients of `gauss` [L, H, W] at (ys, xs) [N, S].
@@ -585,12 +603,13 @@ def sample_grad_patches(gauss: jnp.ndarray, lvl: jnp.ndarray,
     """
     l, h, w = gauss.shape
     n, s = ys.shape
+    g = _resolve_g(g)
     assert pr % 8 == 0 and pc % 128 == 0, (pr, pc)
 
     inb = (ys >= 0) & (ys <= h - 1) & (xs >= 0) & (xs <= w - 1)
     # pad the slot count to the grid group (dead slots sample patch (0,0);
     # their outputs are sliced off below)
-    pad_n = (-n) % _G
+    pad_n = (-n) % g
     if pad_n:
         lvl = jnp.pad(lvl, (0, pad_n))
         ys = jnp.pad(ys, ((0, pad_n), (0, 0)))
@@ -639,28 +658,28 @@ def sample_grad_patches(gauss: jnp.ndarray, lvl: jnp.ndarray,
     np_ = n + pad_n
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(np_ // _G,),
+        grid=(np_ // g,),
         in_specs=[
-            pl.BlockSpec((_G, s), lambda i, *_: (i, 0),
+            pl.BlockSpec((g, s), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_G, s), lambda i, *_: (i, 0),
+            pl.BlockSpec((g, s), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[
-            pl.BlockSpec((_G, s), lambda i, *_: (i, 0),
+            pl.BlockSpec((g, s), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_G, s), lambda i, *_: (i, 0),
+            pl.BlockSpec((g, s), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_G, pr, pc), jnp.float32),
-            pltpu.SemaphoreType.DMA((_G,)),
+            pltpu.VMEM((g, pr, pc), jnp.float32),
+            pltpu.SemaphoreType.DMA((g,)),
         ],
     )
     dx, dy = pl.pallas_call(
         functools.partial(_kernel, pr=pr, pc=pc, h=h, w=w,
-                          bf16_dots=bf16_dots),
+                          bf16_dots=bf16_dots, _G=g),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((np_, s), jnp.float32),
                    jax.ShapeDtypeStruct((np_, s), jnp.float32)],

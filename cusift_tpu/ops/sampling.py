@@ -82,7 +82,8 @@ def bilinear_sample_pair(stack2: jnp.ndarray, lvl: jnp.ndarray,
 
 def sample_grad_grid(gauss: jnp.ndarray, lvl: jnp.ndarray,
                      ys_rows: jnp.ndarray, xs_cols: jnp.ndarray, *,
-                     span_rows: float, method: str = "auto"):
+                     span_rows: float, method: str = "auto",
+                     group: int | None = None):
     """Gradient sampling on an AXIS-ALIGNED per-slot grid.
 
     ys_rows [K, GR] and xs_cols [K, GC] define the grid; returns
@@ -103,18 +104,18 @@ def sample_grad_grid(gauss: jnp.ndarray, lvl: jnp.ndarray,
         pr = -(-(int(span_rows) + 12) // 8) * 8
         pc = -(-(int(span_rows) + 132) // 128) * 128
         return sample_grad_patches_sep(gauss, lvl, ys_rows, xs_cols,
-                                       pr=pr, pc=pc)
+                                       pr=pr, pc=pc, g=group)
     k, gr = ys_rows.shape
     gc = xs_cols.shape[1]
     ys = jnp.broadcast_to(ys_rows[:, :, None], (k, gr, gc)).reshape(k, -1)
     xs = jnp.broadcast_to(xs_cols[:, None, :], (k, gr, gc)).reshape(k, -1)
     return sample_grad_pair(gauss, lvl, ys, xs, span_rows=span_rows,
-                            method=method)
+                            method=method, group=group)
 
 
 def sample_grad_pair(gauss: jnp.ndarray, lvl: jnp.ndarray,
                      ys: jnp.ndarray, xs: jnp.ndarray, *, span_rows: float,
-                     method: str = "auto"):
+                     method: str = "auto", group: int | None = None):
     """Bilinear-sample image gradients of `gauss` at per-slot float coords.
 
     Dispatches between the Pallas patch kernel (ops/pallas/sampler.py —
@@ -135,7 +136,8 @@ def sample_grad_pair(gauss: jnp.ndarray, lvl: jnp.ndarray,
         from .pallas.sampler import sample_grad_patches
         pr = -(-(int(span_rows) + 12) // 8) * 8
         pc = -(-(int(span_rows) + 132) // 128) * 128
-        return sample_grad_patches(gauss, lvl, ys, xs, pr=pr, pc=pc)
+        return sample_grad_patches(gauss, lvl, ys, xs, pr=pr, pc=pc,
+                                   g=group)
     from .gaussian import image_gradients
     gdx, gdy = image_gradients(gauss)   # CSE'd across ori/desc inside a jit
     grad2 = jnp.stack([gdx, gdy], axis=-1)

@@ -74,11 +74,15 @@ def build_window_problem_union(kf_desc, kf_valid, kf_pts, poses_r, poses_t,
 
     uv = jax.vmap(lambda pts: project(pts, fx, fy, cx, cy))(kf_pts)
     own_w = pw_flat[owner]                               # [W, N, 3]
-    pred = jax.vmap(lambda pts, r, t: project(pts @ r.T + t,
-                                              fx, fy, cx, cy))(
-        own_w, poses_r, poses_t)
+    own_c = jax.vmap(lambda pts, r, t: pts @ r.T + t)(
+        own_w, poses_r, poses_t)                         # [W, N, 3]
+    pred = jax.vmap(lambda pts: project(pts, fx, fy, cx, cy))(own_c)
     owner_valid = valid.reshape(-1)[owner]
-    ok = (valid & owner_valid
+    # near-plane gate: a landmark at/behind the observing camera (z ~ 0)
+    # can still project near the principal point and pass the pixel
+    # gate, but its Jacobian entries ~fx/z overflow f32 in J^T J and
+    # NaN the window (optim/ba.py:_mask_dead_obs rationale)
+    ok = (valid & owner_valid & (own_c[..., 2] > 1e-2)
           & (jnp.sum((uv - pred) ** 2, -1) < gate_px ** 2))
 
     cam_idx = jnp.repeat(jnp.arange(w, dtype=jnp.int32), n)
@@ -122,8 +126,11 @@ def build_window_problem(kf_desc, kf_valid, kf_pts, poses_r, poses_t,
         # from the landmark's predicted projection under the CURRENT pose
         # estimate is a misassociation — Huber blunts these but enough of
         # them still set the cost floor and stall LM
-        pred = project(points_w @ r_k.T + t_k, fx, fy, cx, cy)
-        ok = ok & (jnp.sum((uv - pred) ** 2, -1) < gate_px ** 2)
+        pc = points_w @ r_k.T + t_k
+        pred = project(pc, fx, fy, cx, cy)
+        # near-plane gate: see build_window_problem_union
+        ok = ok & (pc[:, 2] > 1e-2) \
+            & (jnp.sum((uv - pred) ** 2, -1) < gate_px ** 2)
         return uv, ok
 
     uv, ok = jax.vmap(assoc)(kf_desc, kf_valid, kf_pts,

@@ -90,3 +90,44 @@ def solve_spd(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
             s = s - l[k][i] * x[k]
         x[i] = s / l[i][i]
     return jnp.stack(x, -1)
+
+
+@f32_matmuls
+def inv3_spd(a: jnp.ndarray, rel_floor: float = 3e-7) -> jnp.ndarray:
+    """Inverse of PSD [..., 3, 3] via closed-form Cholesky (stable in f32).
+
+    The cofactor inverse (inv3) is catastrophically wrong in f32 past
+    condition ~1e7: the determinant is a difference of entry products, so
+    its absolute error is ~eps * ||a||^3, which swamps a small true
+    determinant and can flip its sign — measured on a thin-ray BA
+    landmark block (condition 3e8): true ||inv|| ~3e3, cofactor ~5e21.
+    Cholesky is backward stable; pivot squares are clamped to rel_floor
+    times the largest diagonal entry, so f32 cancellation in the pivot
+    update acts as bounded extra damping of the (unobservable) thin
+    direction instead of a blow-up: ||inv|| <= 1/(rel_floor * max_diag).
+    rel_floor ~ 3e-7 sits at the f32 cancellation noise level itself —
+    the tightest floor that is numerically meaningful.
+    """
+    d11, d22, d33 = a[..., 0, 0], a[..., 1, 1], a[..., 2, 2]
+    floor = rel_floor * jnp.maximum(d11, jnp.maximum(d22, d33)) + 1e-30
+    l11 = jnp.sqrt(jnp.maximum(d11, floor))
+    l21 = a[..., 1, 0] / l11
+    l31 = a[..., 2, 0] / l11
+    l22 = jnp.sqrt(jnp.maximum(d22 - l21 * l21, floor))
+    l32 = (a[..., 2, 1] - l31 * l21) / l22
+    l33 = jnp.sqrt(jnp.maximum(d33 - l31 * l31 - l32 * l32, floor))
+    m11 = 1.0 / l11
+    m22 = 1.0 / l22
+    m33 = 1.0 / l33
+    m21 = -l21 * m11 * m22
+    m31 = (l21 * l32 - l22 * l31) * m11 * m22 * m33
+    m32 = -l32 * m22 * m33
+    i11 = m11 * m11 + m21 * m21 + m31 * m31
+    i12 = m21 * m22 + m31 * m32
+    i13 = m31 * m33
+    i22 = m22 * m22 + m32 * m32
+    i23 = m32 * m33
+    i33 = m33 * m33
+    return jnp.stack([jnp.stack([i11, i12, i13], -1),
+                      jnp.stack([i12, i22, i23], -1),
+                      jnp.stack([i13, i23, i33], -1)], -2)

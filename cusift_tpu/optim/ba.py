@@ -29,7 +29,7 @@ from cusift_tpu.utils.precision import f32_matmuls
 
 from ..config import BAConfig
 from ..ops.geometry import project
-from ..ops.mat3 import inv3
+from ..ops.mat3 import inv3_spd
 from .lie import se3_exp, transform
 
 _seg = jax.ops.segment_sum
@@ -93,6 +93,7 @@ def _robust_weights(res: jnp.ndarray, w: jnp.ndarray, delta: float):
 @f32_matmuls
 def cost(p: BAProblem, huber_delta: float = 0.0, axis_name=None) -> jnp.ndarray:
     res, _, _ = _residuals_and_jacobians(p)
+    res = jnp.where((p.w > 0)[:, None], res, 0.0)   # see _mask_dead_obs
     sq = jnp.sum(res ** 2, -1)
     if huber_delta > 0:
         nrm = jnp.sqrt(jnp.maximum(sq, 1e-18))
@@ -102,6 +103,21 @@ def cost(p: BAProblem, huber_delta: float = 0.0, axis_name=None) -> jnp.ndarray:
         rho = sq
     c = 0.5 * jnp.sum(p.w * rho)
     return jax.lax.psum(c, axis_name) if axis_name is not None else c
+
+
+def _mask_dead_obs(w, res, jc, jp):
+    """Zero residuals/Jacobians of weight-0 observations BEFORE products.
+
+    A dead slot (weight 0) can sit at z ~ 1e-9 after the projection
+    clamp: its Jacobian entries reach ~1e20, so J^T J overflows f32 to
+    inf before the zero weight multiplies — and 0 * inf = NaN poisons
+    the whole window's normal equations, silently disabling BA for that
+    window (every LM step rejects on a non-finite cost).
+    """
+    live = (w > 0)[:, None]
+    return (jnp.where(live, res, 0.0),
+            jnp.where(live[..., None], jc, 0.0),
+            jnp.where(live[..., None], jp, 0.0))
 
 
 class _Blocks(NamedTuple):
@@ -125,6 +141,7 @@ def build_blocks(p: BAProblem, damping, huber_delta: float,
     """
     if res is None:
         res, jc, jp = _residuals_and_jacobians(p)
+    res, jc, jp = _mask_dead_obs(p.w, res, jc, jp)
     c, l = p.poses_r.shape[0], p.points.shape[0]
     w = _robust_weights(res, p.w, huber_delta)[:, None, None]  # [O,1,1]
 
@@ -140,7 +157,14 @@ def build_blocks(p: BAProblem, damping, huber_delta: float,
     n_shards = (jax.lax.psum(1, axis_name) if axis_name is not None else 1)
     u = u + (damping + 1e-8) / n_shards * jnp.eye(6)[None]
     v = v + (damping + 1e-8) * jnp.eye(3)[None]
-    v_inv = inv3(v)
+    # inv3_spd, NOT the cofactor inv3: a thin-ray landmark block has
+    # condition ~1e8+, where the f32 cofactor inverse is catastrophically
+    # wrong (measured: true ||V^-1|| ~3e3, inv3 ~5e21 — the garbage rides
+    # the Schur reduction into every camera block and breaks the window
+    # solve for BOTH the CG and dense paths).  The clamped-Cholesky form
+    # bounds the inverse and turns f32 cancellation into benign extra
+    # damping of the unobservable direction (ops/mat3.py).
+    v_inv = inv3_spd(v)
     return _Blocks(u=u, v_inv=v_inv, wo=wo, b_c=b_c, b_p=b_p)
 
 
@@ -210,6 +234,75 @@ def pcg(matvec, b, precond, iters: int, tol: float):
 
 
 @f32_matmuls
+def _dense_schur_solve(p: BAProblem, blocks: _Blocks, b, cam_mask,
+                       res, jc, huber_delta: float, damping):
+    """Explicit [6C, 6C] Schur complement + Cholesky (BAConfig.solver).
+
+    At window scale (C=5 -> 30 dofs) this replaces cg_iters sequential
+    matvec rounds — pure program latency on the chip — with batched
+    einsums over the landmark blocks and one tiny factorisation (the
+    same trade the dense pose-graph solver measured at 178 -> ~4 ms).
+
+    f32 numerics (both measured necessary at LM damping 1e-3, where the
+    naive assembly read window-BA ATE 0.27 vs the CG path's 0.20):
+      * the sum S = blockdiag(U) - sum_p A_p V_p^-1 A_p^T is assembled
+        as sum_p (U_p - A_p V_p^-1 A_p^T): each per-landmark term is
+        itself a (PSD) Schur complement, so the big cancellation between
+        the two grouped sums never materialises;
+      * Jacobi equilibration D^-1/2 S D^-1/2 before the Cholesky —
+        rotational and translational dofs differ by orders of magnitude
+        in curvature.
+    Gauge-fixed camera dofs get zeroed rows/cols and a unit diagonal.
+    """
+    c = p.poses_r.shape[0]
+    l = blocks.v_inv.shape[0]
+    key = p.pt_idx * c + p.cam_idx
+    a = _seg(blocks.wo, key, num_segments=l * c).reshape(l, c * 6, 3)
+    w = _robust_weights(res, p.w, huber_delta)[:, None, None]
+    jct = jnp.swapaxes(jc, -1, -2)
+    u_obs = w * (jct @ jc)                                # [O, 6, 6]
+    ulc = _seg(u_obs, key, num_segments=l * c).reshape(l, c, 6, 6)
+    # per-landmark block-diagonal embed [L, 6C, 6C] via the camera eye
+    bd = (jnp.eye(c)[None, :, None, :, None]
+          * ulc[:, :, :, None, :]).reshape(l, 6 * c, 6 * c)
+    av = jax.lax.batch_matmul(a, blocks.v_inv)            # [L, 6C, 3]
+    s_l = bd - jax.lax.batch_matmul(av, jnp.swapaxes(a, -1, -2))
+    sm = jnp.sum(s_l, axis=0) + (damping + 1e-8) * jnp.eye(6 * c)
+    m = jnp.repeat(cam_mask, 6)
+    sm = sm * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
+    # U-whitened eigen-truncated solve, NOT Cholesky/LU: the window
+    # system's condition reaches 1e8+ (near-unobservable camera dof
+    # combinations), where (a) f32 assembly error leaves the matrix
+    # numerically indefinite — Cholesky NaNs and LM silently rejects
+    # every step — and (b) an exact solve steps hugely along the
+    # near-null directions, distorting geometry for a marginal cost
+    # decrease (measured ATE regressions for both).  Whitening by the
+    # block-diagonal camera curvature U (the same preconditioner the CG
+    # path uses) maps the spectrum into [0, 1] — S = U - PSD implies
+    # T = Lu^-1 S Lu^-T <= I — and eigencomponents near 0 are exactly
+    # the directions the landmark reduction made unobservable: zeroing
+    # them moves only where the window has information, the implicit
+    # regularisation that makes the truncated-CG path behave.
+    um = jax.scipy.linalg.block_diag(*blocks.u)
+    um = um * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
+    du = jnp.sqrt(jnp.maximum(jnp.diagonal(um), 1e-30))
+    um = um / du[:, None] / du[None, :]     # Jacobi-equilibrated U
+    um = um + 1e-6 * jnp.eye(6 * c)
+    lu = jnp.linalg.cholesky(um)
+    smw = sm / du[:, None] / du[None, :]
+    t1 = jax.scipy.linalg.solve_triangular(lu, smw, lower=True)
+    t = jax.scipy.linalg.solve_triangular(lu, t1.T, lower=True)
+    lam, vec = jnp.linalg.eigh(t)
+    keep = lam > 1e-3
+    inv_l = jnp.where(keep, 1.0 / jnp.where(keep, lam, 1.0), 0.0)
+    bw = jax.scipy.linalg.solve_triangular(lu, b.reshape(-1) * m / du,
+                                           lower=True)
+    dcw = vec @ (inv_l * (vec.T @ bw))
+    dc = jax.scipy.linalg.solve_triangular(lu.T, dcw, lower=False) / du
+    return dc.reshape(c, 6) * cam_mask[:, None]
+
+
+@f32_matmuls
 def solve_normal_equations(p: BAProblem, damping, cfg: BAConfig, axis_name=None):
     """One damped GN step: returns (delta_c [C,6], delta_p [L,3]).
 
@@ -219,7 +312,9 @@ def solve_normal_equations(p: BAProblem, damping, cfg: BAConfig, axis_name=None)
     its local landmarks.
     """
     c = p.poses_r.shape[0]
-    blocks = build_blocks(p, damping, cfg.huber_delta, axis_name=axis_name)
+    res, jc, jp = _mask_dead_obs(p.w, *_residuals_and_jacobians(p))
+    blocks = build_blocks(p, damping, cfg.huber_delta, res=res, jc=jc,
+                          jp=jp, axis_name=axis_name)
     if axis_name is not None:
         blocks = blocks._replace(u=jax.lax.psum(blocks.u, axis_name),
                                  b_c=jax.lax.psum(blocks.b_c, axis_name))
@@ -234,8 +329,13 @@ def solve_normal_equations(p: BAProblem, damping, cfg: BAConfig, axis_name=None)
         return (u_inv @ r[..., None])[..., 0] * cam_mask[:, None]
 
     b = reduced_rhs(blocks, p.cam_idx, p.pt_idx, cam_mask, axis_name)
-    mv = lambda x: schur_matvec(blocks, p.cam_idx, p.pt_idx, x, cam_mask, axis_name)
-    dc = pcg(mv, b, precond, cfg.cg_iters, cfg.cg_tol)
+    if cfg.solver == "dense" and axis_name is None:
+        dc = _dense_schur_solve(p, blocks, b, cam_mask, res, jc,
+                                cfg.huber_delta, damping)
+    else:
+        mv = lambda x: schur_matvec(blocks, p.cam_idx, p.pt_idx, x,
+                                    cam_mask, axis_name)
+        dc = pcg(mv, b, precond, cfg.cg_iters, cfg.cg_tol)
 
     # back-substitute landmarks: dp = V^-1 (b_p - W^T dc)
     t_p = _seg((jnp.swapaxes(blocks.wo, -1, -2) @ (dc * cam_mask[:, None])[p.cam_idx][..., None])[..., 0],

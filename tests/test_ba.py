@@ -71,3 +71,20 @@ def test_huber_resists_outliers():
     res = bundle_adjust(p, BAConfig(max_iters=25, cg_iters=40, huber_delta=2.0, num_fixed_poses=2))
     t_err = np.linalg.norm(np.asarray(res.poses_t) - truth["poses_t"], axis=-1).max()
     assert t_err < 0.05, f"translation error with outliers {t_err}"
+
+
+def test_dense_solver_matches_cg(problem):
+    """BAConfig.solver="dense" (assembled Schur + Cholesky, the streaming
+    window form — kills the cg_iters sequential matvec latency on chip)
+    converges to the same optimum as the matrix-free CG path."""
+    import dataclasses
+
+    p, _ = problem
+    cfg = BAConfig(max_iters=15, cg_iters=60, num_fixed_poses=2)
+    r_cg = bundle_adjust(p, cfg)
+    r_d = bundle_adjust(p, dataclasses.replace(cfg, solver="dense"))
+    assert float(r_d.cost) <= float(r_d.initial_cost)
+    np.testing.assert_allclose(float(r_d.cost), float(r_cg.cost),
+                               rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(r_d.poses_t),
+                               np.asarray(r_cg.poses_t), atol=5e-3)

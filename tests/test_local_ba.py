@@ -111,7 +111,11 @@ def test_slam_local_ba_reduces_drift():
     task 5): under sensor-like 4% depth noise, rigid-RANSAC tracking
     accumulates drift that windowed reprojection BA (2D observations
     carry no depth error) measurably removes.  Measured on this scenario:
-    ATE 0.275 -> 0.202 (w=5), monotone in window size."""
+    ATE 0.267 -> 0.193 (w=5).  num_hypotheses=1024, NOT 256: at 256 the
+    tracking itself is PRNG-stream-marginal on this scene (one frame's
+    rigid RANSAC flips the no-BA ATE between 0.23 and 0.47 across key
+    streams — round-5 probe) and the test's claim is about BA, so
+    tracking must sit in its stable operating regime."""
     seq = planar_rgbd_sequence(16, 240, 320, seed=7, motion_scale=1.2,
                                detail=0.3, depth_noise=0.04)
 
@@ -120,7 +124,7 @@ def test_slam_local_ba_reduces_drift():
                               kf_max_translation=0.08, kf_max_rotation=0.08,
                               local_ba_window=local_w)
         s = Slam(seq.intr, sift_cfg=SIFT, slam_cfg=slam_cfg,
-                 ransac_cfg=RansacConfig(num_hypotheses=256))
+                 ransac_cfg=RansacConfig(num_hypotheses=1024))
         s.run(zip(seq.images, seq.depths))
         return s.ate(seq.poses_r, seq.poses_t), s.state.n_kf
 

@@ -813,6 +813,63 @@ class MonoVO:
             return 0.0
         return float(np.std(np.log(v)))
 
+    @staticmethod
+    def _correction_roughness(pose_r: np.ndarray, pose_t: np.ndarray,
+                              corr: tuple, frames: list[int]) -> float:
+        """Roughness of the speed modification a correction applies.
+
+        Per keyframe segment: d_k = log(v_corr_k) - log(v_raw_k).  True
+        camera motion cancels exactly in the ratio, so this observable is
+        MOTION-FREE — a genuinely non-uniform (stop-and-go) speed profile
+        contributes nothing, unlike the absolute log-speed dispersion.
+        Genuine scale-drift corrections modify speeds smoothly (drift is
+        a slow multiplicative random walk, and a loop solve spreads the
+        counter-ramp over the whole chain), so diff(d) stays small; a
+        poisoned chain-collapse correction jumps by ~e^2 within a couple
+        of keyframes.  Returns std(diff(d)); 0.0 when too short.
+        """
+        n = len(frames)
+        if n < 5:
+            return 0.0
+        cr, ct, cs = corr
+        t_raw = pose_t[:n]
+        c_raw = -np.einsum("nij,nj->ni",
+                           np.transpose(pose_r[:n], (0, 2, 1)), t_raw)
+        t_cor = ct[:n] / np.maximum(cs[:n], 1e-12)[:, None]
+        c_cor = -np.einsum("nij,nj->ni",
+                           np.transpose(cr[:n], (0, 2, 1)), t_cor)
+        v_raw = np.linalg.norm(np.diff(c_raw, axis=0), axis=1)
+        v_cor = np.linalg.norm(np.diff(c_cor, axis=0), axis=1)
+        ok = (v_raw > 1e-12) & (v_cor > 1e-12)
+        if np.count_nonzero(ok) < 4:
+            return 0.0
+        d = np.log(v_cor[ok]) - np.log(v_raw[ok])
+        return float(np.std(np.diff(d)))
+
+    def _gate_accept(self, sig_raw: float, sig_corr: float,
+                     sig_delta: float) -> bool:
+        """Sim(3) solve health decision (VOConfig.sim3_gate).
+
+        Two independent acceptance routes — reject only when BOTH say
+        unhealthy:
+          * speed: the corrected chain's log-speed dispersion must not
+            exceed raw's by sim3_gate_margin (the smooth-motion prior;
+            catches wild corrections, and accepts genuinely-abrupt fixes
+            like the blur-burst scale re-lock because those make speed
+            MORE uniform);
+          * smoothness: the correction's own motion-free modification
+            roughness stays under sim3_gate_smooth (accepts genuine
+            corrections on stop-and-go scenes where drift coincidentally
+            smoothed the raw profile, which the speed route alone would
+            falsely reject).
+        """
+        if self.vo_cfg.sim3_gate != "speed":
+            return True
+        speed_ok = (sig_raw <= 0.0
+                    or sig_corr <= sig_raw * self.vo_cfg.sim3_gate_margin)
+        smooth_ok = sig_delta <= self.vo_cfg.sim3_gate_smooth
+        return speed_ok or smooth_ok
+
     def _optimize_graph(self):
         """Sim(3) pose graph over the raw keyframe chain.
 
@@ -886,11 +943,13 @@ class MonoVO:
                                          None, self._kf_frame)
         sig_corr = self._speed_dispersion(corr[0], corr[1], corr[2],
                                           self._kf_frame)
-        accept = (self.vo_cfg.sim3_gate != "speed" or sig_raw <= 0.0
-                  or sig_corr <= sig_raw * self.vo_cfg.sim3_gate_margin)
+        sig_delta = self._correction_roughness(
+            self._kf_pose_r, self._kf_pose_t, corr, self._kf_frame)
+        accept = self._gate_accept(sig_raw, sig_corr, sig_delta)
         self.gate_log.append(dict(frame=len(self.poses_r) - 1,
                                   sig_raw=round(sig_raw, 4),
                                   sig_corr=round(sig_corr, 4),
+                                  sig_delta=round(sig_delta, 4),
                                   accept=bool(accept)))
         if accept:
             self._corr = corr

@@ -350,3 +350,77 @@ def test_keyframe_referenced_tracking_mode():
     path = trajectory_path_length(seq.poses_r, seq.poses_t)[-1]
     assert ate < 0.2 * path, (ate, path)
     assert np.isfinite(et).all()
+
+
+def test_sim3_gate_matrix_healthy_poisoned_stopgo():
+    """Gate decision matrix (VERDICT r4 task 5): healthy drift fix ->
+    accept; poisoned chain-collapse solve -> reject; genuine correction
+    on a STOP-AND-GO scene whose raw drift coincidentally smoothed the
+    speed profile -> accept (the absolute speed route alone would
+    falsely reject it; the motion-free smoothness route rescues it);
+    abrupt-but-genuine blur-burst-style re-lock -> accept (the speed
+    route carries it)."""
+    from cusift_tpu.config import VOConfig
+
+    vo = MonoVO.__new__(MonoVO)          # gate logic needs only vo_cfg
+    vo.vo_cfg = VOConfig()
+
+    rng = np.random.default_rng(7)
+    n = 40
+    frames = list(range(0, 4 * n, 4))
+    eye = np.broadcast_to(np.eye(3, dtype=np.float32), (n, 3, 3)).copy()
+
+    def chain(speeds):
+        c = np.zeros((n, 3), np.float32)
+        c[1:, 0] = np.cumsum(speeds)     # n-1 segment speeds -> n centres
+        t = -c
+        return t
+
+    def decide(t_raw, t_corr, s_corr=None):
+        s_corr = (np.ones(n, np.float32) if s_corr is None
+                  else s_corr.astype(np.float32))
+        corr = (eye, t_corr * s_corr[:, None], s_corr)
+        sig_raw = MonoVO._speed_dispersion(eye, t_raw, None, frames)
+        sig_corr = MonoVO._speed_dispersion(*corr, frames)
+        sig_delta = MonoVO._correction_roughness(eye, t_raw, corr, frames)
+        return vo._gate_accept(sig_raw, sig_corr, sig_delta), (
+            sig_raw, sig_corr, sig_delta)
+
+    seg = np.arange(n - 1)
+
+    # 1) healthy: uniform true motion, smooth multiplicative drift; the
+    # genuine correction collapses the dispersion -> speed route accepts
+    drift = np.exp(np.cumsum(rng.normal(0, 0.06, n - 1)))
+    v_true = np.ones(n - 1)
+    ok, sigs = decide(chain(v_true * drift), chain(v_true))
+    assert ok, sigs
+
+    # 2) poisoned: an x8 modification step over one keyframe segment (the
+    # 1000-frame soak's chain-collapse signature) -> both routes reject
+    v_raw = np.exp(rng.normal(0, 0.03, n - 1))
+    v_bad = v_raw.copy()
+    v_bad[n // 2:] *= 8.0
+    ok, sigs = decide(chain(v_raw), chain(v_bad))
+    assert not ok, sigs
+
+    # 3) stop-and-go false-reject direction: true speed swings ~4x over
+    # one slow cycle (genuinely non-uniform, sigma ~0.5); a smooth drift
+    # anticorrelates and SMOOTHS the raw profile, so the genuine
+    # correction (removing the drift) legitimately RAISES dispersion
+    v_true = np.exp(0.7 * np.sin(2 * np.pi * seg / (n - 1)))
+    drift = np.exp(-0.65 * np.sin(2 * np.pi * seg / (n - 1))
+                   + np.cumsum(rng.normal(0, 0.01, n - 1)))
+    ok, sigs = decide(chain(v_true * drift), chain(v_true))
+    sig_raw, sig_corr, sig_delta = sigs
+    assert sig_corr > sig_raw * vo.vo_cfg.sim3_gate_margin, sigs  # speed route alone WOULD reject
+    assert ok, sigs                      # ...but the smoothness route accepts
+
+    # 4) abrupt-but-genuine (blur-burst re-lock): raw has one x6 scale
+    # break; the genuine fix is equally abrupt (rough modification) but
+    # restores uniform speed -> speed route accepts
+    v_broken = np.ones(n - 1)
+    v_broken[20:] = 6.0
+    ok, sigs = decide(chain(v_broken), chain(np.ones(n - 1)))
+    sig_raw, sig_corr, sig_delta = sigs
+    assert sig_delta > vo.vo_cfg.sim3_gate_smooth, sigs  # smoothness route alone WOULD reject
+    assert ok, sigs

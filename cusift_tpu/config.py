@@ -337,6 +337,18 @@ class SlamConfig:
     # form for "union" BA anchoring or distributed BA (their solvers
     # need layouts the fused program does not carry).
     fused_events: bool = True
+    # apply the fused event's packed result LAZILY: _kf_event dispatches
+    # the device program and returns immediately; the fetch happens at
+    # the next reader of the pose/edge state (the next keyframe insert,
+    # trajectory(), checkpoint()).  The event program (~70 ms at the
+    # north-star shape) then overlaps the following chunks' host work
+    # instead of blocking the loop — the round-5 loop profile measured
+    # the blocking fetch at ~111 ms/event (program + tunnel RTT).
+    # Results are bit-identical to the eager form: every state reader
+    # drains first, and the PRNG key is consumed at dispatch either way.
+    # The per-frame metric record's "loop" field is patched at drain
+    # (one event late through any streaming on_metric callback).
+    defer_events: bool = True
 
 
 @dataclass(frozen=True)

@@ -354,6 +354,9 @@ class Slam:
         self._dev_cache: dict = {}
         # chunked-run in-flight reference slot holder (see _run_chunked)
         self._chunk_ref: list | None = None
+        # deferred fused-event slot: [j, device_result, metric_rec]
+        # (SlamConfig.defer_events; applied by _drain_event)
+        self._pending_event: list | None = None
         # optional per-frame callback (e.g. streaming JSONL metrics); called
         # with each record as soon as it is committed, so long runs keep
         # their observability even if interrupted
@@ -533,7 +536,13 @@ class Slam:
         """
         if self.state.n_kf == 0:
             return self._bootstrap(img, depth)
-        return self._commit(*self._dispatch(img, depth))
+        rec = self._commit(*self._dispatch(img, depth))
+        # the public per-frame API keeps eager semantics: callers read
+        # state (n_closures, poses) right after the call.  Deferral's
+        # overlap win lives in the streaming run()/_run_chunked paths,
+        # which drain lazily (SlamConfig.defer_events).
+        self._drain_event()
+        return rec
 
     def _sense(self, img, aux):
         """Features + camera-frame 3D points of one frame (override hook).
@@ -654,6 +663,9 @@ class Slam:
         loop_found = False
         added_kf = False
         if need_kf:
+            # a deferred event's solve must land before this insert reads
+            # poses, evicts, or appends edges (SlamConfig.defer_events)
+            self._drain_event()
             # pose of the new keyframe: T_cur<-w = T_cur<-ref * T_ref<-w —
             # computed BEFORE any eviction shifts the ring `ref` indexes
             # (host numpy 3x3 math; device round-trips cost ~38 ms each)
@@ -696,6 +708,9 @@ class Slam:
                "matches": n_matches, "inliers": inl,
                "keyframe": bool(added_kf), "loop": bool(loop_found),
                "tracked": tracked, "relocalised": relocalised}
+        if self._pending_event is not None and self._pending_event[2] is None:
+            # this frame's own deferred event: patch rec["loop"] at drain
+            self._pending_event[2] = rec
         self.metrics.append(rec)
         if self.on_metric:
             self.on_metric(rec)
@@ -738,6 +753,7 @@ class Slam:
                 self._bootstrap(f[0], f[1])
                 continue
             self._commit(*self._dispatch(f[0], f[1]))
+        self._drain_event()   # callers read poses/closure counts next
         return self.metrics
 
     def _run_chunked(self, frames, max_frames, chunk: int) -> list[dict]:
@@ -778,6 +794,7 @@ class Slam:
             finally:
                 self._chunk_ref = None
             done += n_valid
+        self._drain_event()   # callers read poses/closure counts next
         return self.metrics
 
     def _retrieve_and_verify(self, desc, valid, pts, limit: int,
@@ -869,12 +886,24 @@ class Slam:
             s.kf_pose_r.ravel(), s.kf_pose_t.ravel(),
             meas_r.ravel(), meas_t.ravel(), wts,
         ]).astype(np.float32))                      # the one upload
-        packed = np.asarray(_kf_event_step(
+        dev = _kf_event_step(
             s.kf_desc, s.kf_valid, s.kf_pts, self.intr, blob,
             self._next_key(), self.cfg.local_ba_window, self.match_cfg,
             self.ransac_cfg, self._ba_cfg, self._pg_dense,
-            self.cfg.loop_min_score,
-            self.cfg.loop_min_inliers))             # the one fetch
+            self.cfg.loop_min_score, self.cfg.loop_min_inliers)
+        if self.cfg.defer_events:
+            # lazy apply (SlamConfig.defer_events): the device runs the
+            # event while the host streams the next chunks; any reader
+            # of pose/edge state drains first (_drain_event)
+            self._pending_event = [j, dev, None]
+            return False
+        return self._apply_event(j, dev)
+
+    def _apply_event(self, j: int, dev) -> bool:
+        """Fetch one event's packed result and apply it to host state."""
+        s = self.state
+        kfcap = self.cfg.max_keyframes
+        packed = np.asarray(dev)                    # the one fetch
         k9 = kfcap * 9
         k12 = kfcap * 12
         s.kf_pose_r = packed[:k9].reshape(kfcap, 3, 3).copy()
@@ -886,6 +915,16 @@ class Slam:
                            packed[k12 + 15:k12 + 18].copy(), 2.0)
             s.n_closures += 1
         return bool(accept > 0)
+
+    def _drain_event(self):
+        """Apply the pending deferred event, if any (idempotent)."""
+        if self._pending_event is None:
+            return
+        j, dev, rec = self._pending_event
+        self._pending_event = None
+        accept = self._apply_event(j, dev)
+        if rec is not None:
+            rec["loop"] = accept
 
     def _local_ba(self):
         """Sliding-window BA over the last W keyframes (north-star BA step).
@@ -987,6 +1026,7 @@ class Slam:
 
     def trajectory(self):
         """Per-frame world-to-camera poses (after all optimisation)."""
+        self._drain_event()
         s = self.state
         kr = s.kf_pose_r
         kt = s.kf_pose_t
@@ -1011,6 +1051,7 @@ class Slam:
     # ---------- checkpoint / resume ----------
 
     def checkpoint(self, path: str):
+        self._drain_event()
         s = self.state
         np.savez_compressed(
             path,
@@ -1031,6 +1072,7 @@ class Slam:
         )
 
     def restore(self, path: str):
+        self._drain_event()
         z = np.load(path)
         s = self.state
         s.kf_desc = jnp.asarray(z["kf_desc"])

@@ -318,3 +318,37 @@ def test_chunked_run_survives_mid_chunk_eviction():
         -np.einsum("nij,ni->nj", seq.poses_r, seq.poses_t), axis=0),
         axis=-1).sum()
     assert ate < 0.10 * path, f"ATE {ate:.3f} vs path {path:.3f}"
+
+
+def test_deferred_events_match_eager():
+    """SlamConfig.defer_events (lazy event fetch, round-5 latency work)
+    is bit-identical to the eager form: every pose/edge reader drains
+    first and the PRNG key is consumed at dispatch either way.  Runs
+    chunked so events actually stay pending across commits."""
+    from cusift_tpu.config import PoseGraphConfig
+    seq = planar_rgbd_sequence(24, 240, 320, motion_scale=0.9, seed=5)
+    cfg = dict(max_keyframes=32, kf_min_inliers=220,
+               kf_max_translation=0.06, kf_max_rotation=0.06,
+               loop_temporal_gap=4, loop_min_score=0.05,
+               loop_min_inliers=25)
+    pg = PoseGraphConfig(solver="dense")
+
+    def run(defer):
+        slam = Slam(seq.intr, sift_cfg=SIFT,
+                    ransac_cfg=RansacConfig(inlier_thresh_3d=0.03),
+                    slam_cfg=SlamConfig(defer_events=defer, **cfg),
+                    pg_cfg=pg)
+        slam.run(zip(seq.images, seq.depths), chunk=4)
+        return slam
+
+    sd, se = run(True), run(False)
+    assert sd.state.n_kf == se.state.n_kf
+    assert sd.state.n_closures == se.state.n_closures >= 1
+    assert sd.state.edge_i == se.state.edge_i
+    # metric records agree too (the deferred run patches rec["loop"])
+    assert ([r["loop"] for r in sd.metrics]
+            == [r["loop"] for r in se.metrics])
+    rd, td = sd.trajectory()
+    re_, te = se.trajectory()
+    np.testing.assert_array_equal(td, te)
+    np.testing.assert_array_equal(rd, re_)

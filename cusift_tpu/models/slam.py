@@ -355,8 +355,18 @@ class Slam:
         # chunked-run in-flight reference slot holder (see _run_chunked)
         self._chunk_ref: list | None = None
         # deferred fused-event slot: [j, device_result, metric_rec]
-        # (SlamConfig.defer_events; applied by _drain_event)
+        # last keyframe inserted within the CURRENT chunk, as its
+        # relative pose against the chunk reference: re-gates later
+        # in-chunk promotion decisions (see _commit)
+        self._chunk_last_insert: tuple | None = None
+        # (SlamConfig.defer_events; applied by _drain_event).  _defer_ok
+        # gates deferral to the SEQUENTIAL path: chunked runs measured
+        # SLOWER with any deferral (11.7 -> 5.1 fps straddling chunks,
+        # 7.5 drained per chunk — the pending event interleaves
+        # pathologically with the feeder thread's big chunk uploads on
+        # the serialised tunnel), while chunk=1 measured 10.7 -> 15.4 fps
         self._pending_event: list | None = None
+        self._defer_ok = True
         # optional per-frame callback (e.g. streaming JSONL metrics); called
         # with each record as soon as it is committed, so long runs keep
         # their observability even if interrupted
@@ -655,6 +665,21 @@ class Slam:
 
         trans_mag = float(np.linalg.norm(xi[:3]))
         rot_mag = float(np.linalg.norm(xi[3:]))
+        if (self._chunk_ref is not None and not relocalised
+                and self._chunk_last_insert is not None):
+            # chunked runs: xi measures motion against the reference
+            # captured at DISPATCH, but a keyframe inserted earlier in
+            # this chunk already covered part of it — re-gate against
+            # the last in-chunk insert (free host 3x3 math) or the lag
+            # promotes ~2x the keyframes a sequential run does, and
+            # every extra keyframe is an extra ~110 ms fused event
+            # (round-5 chip profile: 76 vs 43 keyframes at chunk 8)
+            ri, ti = self._chunk_last_insert
+            rel2_r = rel_r @ ri.T
+            rel2_t = rel_t - rel2_r @ ti
+            trans_mag = float(np.linalg.norm(rel2_t))
+            cosang = np.clip((np.trace(rel2_r) - 1.0) / 2.0, -1.0, 1.0)
+            rot_mag = float(np.arccos(cosang))
         need_kf = tracked and (
             inl < self.cfg.kf_min_inliers
             or trans_mag > self.cfg.kf_max_translation
@@ -690,6 +715,13 @@ class Slam:
                 # odometry edge ref -> j measured T_ref * T_j^-1
                 o_r, o_t = rel_r.T, -(rel_r.T @ rel_t)
                 self._add_edge(edge_ref, j, o_r, o_t, 1.0)
+            if self._chunk_ref is not None:
+                # a relocalised insert's relative pose is against the
+                # RECOVERED keyframe, not the chunk reference — it
+                # cannot seed the in-chunk re-gate composition
+                self._chunk_last_insert = (None if relocalised else
+                                           (np.asarray(rel_r),
+                                            np.asarray(rel_t)))
             if self._fused_events:
                 loop_found = self._kf_event(j)
             else:
@@ -745,6 +777,7 @@ class Slam:
         """
         if chunk > 1:
             return self._run_chunked(frames, max_frames, chunk)
+        self._defer_ok = True     # sequential path: deferral measured 1.4x
         from ..utils.pipeline import device_frames
         for i, f in enumerate(device_frames(frames)):
             if max_frames is not None and i >= max_frames:
@@ -759,6 +792,7 @@ class Slam:
     def _run_chunked(self, frames, max_frames, chunk: int) -> list[dict]:
         from ..utils.pipeline import device_chunks
 
+        self._defer_ok = False    # see __init__: measured slower chunked
         it = iter(frames)
         if max_frames is not None and max_frames <= 0:
             return self.metrics
@@ -787,6 +821,7 @@ class Slam:
             # shift indices, so eviction tracks this holder (decrementing
             # it on shifts and never choosing it as the victim)
             self._chunk_ref = holder = [ref]
+            self._chunk_last_insert = None
             try:
                 for i in range(n_valid):
                     self._commit(feats, pts, packed_np[i], holder[0],
@@ -794,7 +829,6 @@ class Slam:
             finally:
                 self._chunk_ref = None
             done += n_valid
-        self._drain_event()   # callers read poses/closure counts next
         return self.metrics
 
     def _retrieve_and_verify(self, desc, valid, pts, limit: int,
@@ -891,9 +925,9 @@ class Slam:
             self._next_key(), self.cfg.local_ba_window, self.match_cfg,
             self.ransac_cfg, self._ba_cfg, self._pg_dense,
             self.cfg.loop_min_score, self.cfg.loop_min_inliers)
-        if self.cfg.defer_events:
+        if self.cfg.defer_events and self._defer_ok:
             # lazy apply (SlamConfig.defer_events): the device runs the
-            # event while the host streams the next chunks; any reader
+            # event while the host streams the next frames; any reader
             # of pose/edge state drains first (_drain_event)
             self._pending_event = [j, dev, None]
             return False

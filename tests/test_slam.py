@@ -323,8 +323,10 @@ def test_chunked_run_survives_mid_chunk_eviction():
 def test_deferred_events_match_eager():
     """SlamConfig.defer_events (lazy event fetch, round-5 latency work)
     is bit-identical to the eager form: every pose/edge reader drains
-    first and the PRNG key is consumed at dispatch either way.  Runs
-    chunked so events actually stay pending across commits."""
+    first and the PRNG key is consumed at dispatch either way.  Runs the
+    SEQUENTIAL streaming path — the only one deferral is active on
+    (chunked dispatch measured slower with any deferral and disables it;
+    see Slam.__init__._defer_ok)."""
     from cusift_tpu.config import PoseGraphConfig
     seq = planar_rgbd_sequence(24, 240, 320, motion_scale=0.9, seed=5)
     cfg = dict(max_keyframes=32, kf_min_inliers=220,
@@ -338,7 +340,7 @@ def test_deferred_events_match_eager():
                     ransac_cfg=RansacConfig(inlier_thresh_3d=0.03),
                     slam_cfg=SlamConfig(defer_events=defer, **cfg),
                     pg_cfg=pg)
-        slam.run(zip(seq.images, seq.depths), chunk=4)
+        slam.run(zip(seq.images, seq.depths), chunk=1)
         return slam
 
     sd, se = run(True), run(False)

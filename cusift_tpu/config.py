@@ -425,6 +425,16 @@ class VOConfig:
     # gain 1.0 injects the anchor measurement's full per-frame noise
     # (measured ±15% on the two-plane scene), gain 0 disables anchoring
     map_scale_gain: float = 0.4
+    # essential-failure recovery (VERDICT r4 task 3): when the per-pair
+    # essential RANSAC fails (low-parallax/sub-SNR frames fail the
+    # cheirality majority), re-measure the pose with PnP RANSAC against
+    # the reference frame's chain-scaled triangulated depths instead of
+    # surrendering to constant-velocity carry — the pose comes out at
+    # the chain's global scale directly (no new scale step), and the
+    # depth chain transfers through the rescued pose so the NEXT pair
+    # still has anchors.  Compiled behind lax.cond: healthy frames pay
+    # nothing.
+    pnp_rescue: bool = True
     # Sim(3) correction health gate (VERDICT r3 task 3): the 1000-frame
     # soak measured the corrected trajectory WORSE than raw (t_pct 82.5 vs
     # 51.5) because a late-run scale-chain collapse poisons the loop

@@ -30,6 +30,7 @@ from ..config import (MatchConfig, PoseGraphConfig, RansacConfig, SiftConfig,
                       VOConfig)
 from ..ops.essential import find_essential, triangulate_midpoint
 from ..ops.match import match
+from ..ops.pnp import find_pnp
 from .sift import SiftFeatures, extract
 
 
@@ -45,14 +46,17 @@ class PairOdometry(NamedTuple):
                               # (triangulated, global scale; z=0 unknown)
     num_inliers: jnp.ndarray  # int32
     scale_common: jnp.ndarray  # int32: tracked points used for the scale
-    ok: jnp.ndarray           # bool: essential RANSAC succeeded
+    ok: jnp.ndarray           # bool: a pose was measured this pair
+    pnp_used: jnp.ndarray     # bool: essential failed, PnP rescue supplied
+                              # the pose (VOConfig.pnp_rescue)
 
 
 # shared with the map-anchored frontend (models/monomap.py)
 from ..ops.geometry import masked_median as _masked_median  # noqa: E402
 
 
-@partial(jax.jit, static_argnames=("sift_cfg", "match_cfg", "ransac_cfg"))
+@partial(jax.jit, static_argnames=("sift_cfg", "match_cfg", "ransac_cfg",
+                                   "pnp_rescue"))
 def pair_step(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
               xy_a: jnp.ndarray, depth_a: jnp.ndarray,
               img_b: jnp.ndarray, intr: jnp.ndarray,
@@ -61,7 +65,7 @@ def pair_step(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
               match_cfg: MatchConfig = MatchConfig(),
               ransac_cfg: RansacConfig = RansacConfig(),
               key: jax.Array | None = None,
-              content=None) -> PairOdometry:
+              content=None, pnp_rescue: bool = True) -> PairOdometry:
     """One monocular odometry step: previous features + new image.
 
     depth_a: [N] globally-scaled triangulated depth per frame-A slot from
@@ -81,7 +85,10 @@ def pair_step(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
     xb_all = jnp.stack([(fb.x - cx) / fx, (fb.y - cy) / fy], -1)
     xb = xb_all[m.idx]
 
-    res = find_essential(xa, xb, m.ok, ransac_cfg, key)
+    if key is None:
+        key = jax.random.PRNGKey(ransac_cfg.seed)
+    k_ess, k_pnp = jax.random.split(key)
+    res = find_essential(xa, xb, m.ok, ransac_cfg, k_ess)
     _, za, zb = triangulate_midpoint(res.r, res.t, xa, xb)
     good = res.inliers & (za > 1e-6) & (zb > 1e-6)
 
@@ -112,22 +119,66 @@ def pair_step(desc_a: jnp.ndarray, valid_a: jnp.ndarray,
     med = jnp.clip(med, prev_scale / 3.0, prev_scale * 3.0)
     scale = jnp.where(scale_ok, med, prev_scale)
 
+    # PnP rescue (VERDICT r4 task 3): essential fails on sub-SNR frames
+    # (the cheirality majority collapses at vanishing parallax) although
+    # the MATCHES are fine — re-measure the pose against frame A's
+    # chain-scaled triangulated points.  The DLT-PnP pose comes out at
+    # the chain's global scale directly, so no scale step is taken and
+    # the depth chain transfers exactly (z of R X_a + t), keeping
+    # anchors alive for the next pair.  lax.cond keeps the RANSAC out
+    # of the healthy-frame path.
+    r_sel, t_sel, ok_sel = res.r, res.t * scale, res.ok
+    ninl_sel = res.num_inliers
+    depth_vals = jnp.where(good, zb * scale, 0.0)
+    use_pnp = jnp.bool_(False)
+    if pnp_rescue:
+        pts_a3 = jnp.concatenate([xa, jnp.ones_like(xa[:, :1])], -1) \
+            * depth_a[:, None]
+        have3d = m.ok & (depth_a > 1e-6)
+        try_pnp = (~res.ok) & (jnp.sum(have3d.astype(jnp.int32))
+                               >= ransac_cfg.min_matches)
+
+        def _rescue(k):
+            p = find_pnp(pts_a3, xb, have3d, ransac_cfg, k)
+            return p.r, p.t, p.ok, p.num_inliers, p.inliers
+
+        def _skip(k):
+            return (jnp.eye(3, dtype=xa.dtype), jnp.zeros(3, xa.dtype),
+                    jnp.bool_(False), jnp.int32(0),
+                    jnp.zeros_like(have3d))
+
+        pr, pt, pok, pnum, pinl = jax.lax.cond(try_pnp, _rescue, _skip,
+                                               k_pnp)
+        use_pnp = try_pnp & pok
+        # depth transfer through the rescued pose — elementwise row-3
+        # product (no MXU: bf16 matmul would quantise the chain depths)
+        zb_pnp = jnp.sum(pts_a3 * pr[2], -1) + pt[2]
+        good_pnp = have3d & pinl & (zb_pnp > 1e-6)
+        r_sel = jnp.where(use_pnp, pr, r_sel)
+        t_sel = jnp.where(use_pnp, pt, t_sel)
+        ok_sel = ok_sel | use_pnp
+        ninl_sel = jnp.where(use_pnp, pnum, ninl_sel)
+        scale = jnp.where(use_pnp, prev_scale, scale)
+        depth_vals = jnp.where(use_pnp,
+                               jnp.where(good_pnp, zb_pnp, 0.0),
+                               depth_vals)
+
     # per-slot depth of frame B (global units) for the NEXT pair's chain;
     # scatter through the match index, last writer wins on collisions
     # (collisions only happen via cross-matched duplicates; harmless)
     depth_b = jnp.zeros(fb.valid.shape[0], jnp.float32)
-    depth_b = depth_b.at[m.idx].set(jnp.where(good, zb * scale, 0.0),
-                                    mode="drop")
+    depth_b = depth_b.at[m.idx].set(depth_vals, mode="drop")
     # camera-frame 3D points of frame B from the triangulated depths —
     # the monocular stand-in for RGB-D backprojections; feeds the same
     # windowed BA the SLAM backend uses (models/local_ba.py)
     pts_b = jnp.concatenate([xb_all, jnp.ones_like(xb_all[:, :1])], -1) \
         * depth_b[:, None]
 
-    return PairOdometry(feats=fb, r_rel=res.r, t_rel=res.t * scale,
+    return PairOdometry(feats=fb, r_rel=r_sel, t_rel=t_sel,
                         scale=scale, depth=depth_b, pts=pts_b,
-                        num_inliers=res.num_inliers,
-                        scale_common=n_common, ok=res.ok)
+                        num_inliers=ninl_sel,
+                        scale_common=n_common, ok=ok_sel,
+                        pnp_used=use_pnp)
 
 
 @partial(jax.jit, static_argnames=("match_cfg", "ransac_cfg"))
@@ -405,7 +456,9 @@ class MonoVO:
         out = pair_step(fa.desc, fa.valid, jnp.stack([fa.x, fa.y], -1),
                         depth_a, dimg, self.intr, self._scale,
                         self.sift_cfg, self.match_cfg, self.ransac_cfg, sub,
-                        content)
+                        content,
+                        pnp_rescue=(self.vo_cfg.pnp_rescue
+                                    if self.vo_cfg is not None else True))
         map_mode = self.vo_cfg is not None and self.vo_cfg.map_anchor
         pnp_inl, pnp_ok = 0, False
         map_s_med, map_n_anchor = float("nan"), 0
@@ -460,10 +513,13 @@ class MonoVO:
                 out.r_rel.reshape(-1), out.t_rel,
                 jnp.stack([out.scale, out.num_inliers.astype(jnp.float32),
                            out.scale_common.astype(jnp.float32),
-                           out.ok.astype(jnp.float32)])]))
+                           out.ok.astype(jnp.float32),
+                           out.pnp_used.astype(jnp.float32)])]))
             r_rel = packed[:9].reshape(3, 3)
             t_rel = packed[9:12]
             scale, n_inl, n_common, ok = packed[12:16]
+            if packed[16] > 0.5:        # PnP rescue supplied this pose
+                pnp_ok, pnp_inl = True, int(n_inl)
             r_prev, t_prev = self.poses_r[-1], self.poses_t[-1]
             if kf_ref:
                 # rel measures ref(keyframe) -> cur; compose onto the

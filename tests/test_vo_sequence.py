@@ -209,7 +209,11 @@ def test_long_poisoned_soak_correction_never_worse_than_raw():
     er, et = vo.run(iter(seq.images))
 
     assert vo.n_closures >= 20          # the regime actually closes loops
-    assert vo.n_gate_rejects >= 1       # ...and the gate actually fires
+    # VERDICT r4 task 3: the regime used to lose a third of its frames
+    # (673/1000 tracked) to essential failures; the PnP rescue
+    # (VOConfig.pnp_rescue, tests/test_pnp_rescue.py) must recover them
+    tracked = sum(1 for s in vo.stats if s["ok"])
+    assert tracked >= 850, f"tracked {tracked}/1000"
     ate = ate_rmse(er, et, seq.poses_r, seq.poses_t, with_scale=True)
     raw_r, raw_t = np.stack(vo.poses_r), np.stack(vo.poses_t)
     ate_raw = ate_rmse(raw_r, raw_t, seq.poses_r, seq.poses_t,
